@@ -1,0 +1,140 @@
+"""ExMy codec: float <-> (expo, mant) integer fields, as pure jnp.
+
+TPU-native re-derivation of the reference's torch codec
+(`/root/reference/approx/approx_matmul_whole_v9.py:233-362`):
+
+* ``decompose``  ~ ``float_to_fpany_absint_torch``  (v9.py:233-291)
+* ``compose``    ~ ``fpany_absint_to_float_torch``  (v9.py:295-329)
+* ``quantize_exmy`` ~ ``quant_to_fp_any_vectorize_torch`` (v9.py:333-362)
+
+Unlike the reference these accept the exponent ``bias`` as a (broadcastable)
+array, so a per-output-channel weight bias can be handled in one vectorized
+call instead of the reference's per-channel Python loop
+(`/root/reference/approx/approx_calculation.py:946-971`).
+
+All functions are jittable; ``expo_width``/``mant_width`` are static.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _as_int32(x):
+    return jnp.asarray(x).astype(jnp.int32)
+
+
+def decompose(values, mant_width: int, bias, *, expo_width: int | None = None,
+              clip_of: bool = False):
+    """Split float values into (expo, mant) int32 fields of an ExMy format.
+
+    Mirrors the frexp/ldexp bit-extraction of the reference (v9.py:257-291):
+    subnormals get ``expo == 0`` and a left-shifted mantissa; the mantissa is
+    rounded (round-half-even) and clamped to ``2^mant_width - 1`` *without*
+    carrying into the exponent — reproducing the reference's behaviour at bin
+    edges exactly. Without ``clip_of`` the exponent extends beyond
+    ``2^expo_width - 1`` to hold overflow (v9.py:342-343).
+
+    Args:
+      values: float array.
+      mant_width: mantissa bits (static).
+      bias: exponent bias, int scalar or array broadcastable to ``values``.
+      expo_width: required when ``clip_of`` is True.
+      clip_of: clip |x| > max_norm to the largest finite code.
+
+    Returns:
+      (expo, mant) int32 arrays shaped like ``values``.
+    """
+    values = jnp.asarray(values, dtype=jnp.float32)
+    bias_i = _as_int32(bias)
+    max_mant = (1 << mant_width) - 1
+    mant_scale = 1 << mant_width
+
+    mant, expo = jnp.frexp(values)  # values = mant * 2^expo, |mant| in [0.5, 1)
+
+    # min_norm = 2^(1 - bias), possibly per-element; ldexp is exact where
+    # XLA's exp2 (lowered to exp(x*ln2)) is not
+    min_norm = jnp.ldexp(jnp.ones(jnp.shape(1 - bias_i), jnp.float32), 1 - bias_i)
+    subnorm = jnp.abs(values) < min_norm
+
+    # subnormal: mant_int = |mant| << (expo + bias - 1 + mant_width)
+    # normal:    mant_int = (|mant|*2 - 1) << mant_width
+    sub_shift = expo + bias_i - 1 + mant_width
+    mant_int = jnp.where(
+        subnorm,
+        jnp.ldexp(jnp.abs(mant), sub_shift),
+        jnp.ldexp(jnp.abs(mant) * 2.0 - 1.0, jnp.full_like(expo, mant_width)),
+    )
+    mant_int = jnp.minimum(jnp.round(mant_int), max_mant).astype(jnp.int32)
+
+    expo_int = jnp.where(subnorm, 0, expo + (bias_i - 1)).astype(jnp.int32)
+
+    if clip_of:
+        assert expo_width is not None, "clip_of requires expo_width"
+        max_expo = (1 << expo_width) - 1
+        # max_norm = 2^(max_expo - bias) * (2 - 2^-mant_width), exactly
+        max_norm = jnp.ldexp(
+            jnp.full(jnp.shape(bias_i), 2.0 - 2.0 ** (-mant_width), jnp.float32),
+            max_expo - bias_i,
+        )
+        overflow = (values < -max_norm) | (values > max_norm)
+        expo_int = jnp.where(overflow, max_expo, expo_int)
+        mant_int = jnp.where(overflow, max_mant, mant_int)
+
+    del mant_scale
+    return expo_int, mant_int
+
+
+def compose(expo, mant, mant_width: int, bias, sign=None):
+    """Rebuild float values from (expo, mant) fields (v9.py:295-329).
+
+    ``expo == 0`` decodes as subnormal ``2^(1-bias) * m/2^M``; otherwise
+    ``2^(expo-bias) * (1 + m/2^M)``. ``expo`` may exceed the nominal field
+    width (overflow-extension mode).
+    """
+    expo = _as_int32(expo)
+    mant = _as_int32(mant)
+    bias_i = _as_int32(bias)
+    mant_scale = float(1 << mant_width)
+
+    frac = mant.astype(jnp.float32) / mant_scale
+    subnorm = expo == 0
+    # ldexp(frac, shift) is exact; exp2 would not be (see rounding.exp2_exact)
+    values = jnp.where(
+        subnorm,
+        jnp.ldexp(frac, jnp.broadcast_to(1 - bias_i, frac.shape)),
+        jnp.ldexp(1.0 + frac, expo - bias_i),
+    )
+    if sign is not None:
+        values = values * jnp.asarray(sign, dtype=jnp.float32)
+    return values
+
+
+def code_of(expo, mant, mant_width: int):
+    """Pack fields into the flat integer code ``expo << M | mant`` (v9.py:291)."""
+    return _as_int32(expo) * (1 << mant_width) + _as_int32(mant)
+
+
+def fields_of(code, mant_width: int):
+    """Unpack the flat integer code into (expo, mant) (v9.py:313-316)."""
+    code = _as_int32(code)
+    return code // (1 << mant_width), code % (1 << mant_width)
+
+
+def quantize_exmy(arr, expo_width: int, mant_width: int, bias, *, clip_of: bool = True):
+    """Round-trip quantize floats onto the ExMy grid (v9.py:333-362).
+
+    This is the ``quant_to_fp_any_vectorize_torch`` analog used for
+    ``quant_btw_mult_accu`` (requantizing partial products before the K-sum).
+    """
+    arr = jnp.asarray(arr, dtype=jnp.float32)
+    expo, mant = decompose(arr, mant_width, bias, expo_width=expo_width, clip_of=clip_of)
+    sign = jnp.where(arr < 0, -1.0, 1.0).astype(jnp.float32)
+    return compose(expo, mant, mant_width, bias, sign=sign)
+
+
+def value_space(expo_width: int, mant_width: int, bias):
+    """All 2^(E+M) non-negative code values of the format (v9.py:366-387)."""
+    codes = jnp.arange(1 << (expo_width + mant_width), dtype=jnp.int32)
+    expo, mant = fields_of(codes, mant_width)
+    return compose(expo, mant, mant_width, bias)

@@ -1,0 +1,124 @@
+"""FP8/ExMy fake-quantization with straight-through-estimator rounding.
+
+TPU-native re-derivation of ``quantize_to_fp8_ste_MM``
+(`/root/reference/quantization/quantizers/fp8_quantizer.py:97-173`). The key
+identity (fp8_quantizer.py:104-109): FP quantization is INT quantization with
+an input-dependent power-of-two scale, so it can be written with one STE round
+and autodiff handles learnable ``maxval`` / ``mantissa_bits``.
+
+Math (identical to the reference):
+  M          = clamp(round_ste(mantissa_bits), 1, n_bits - sign_bits)
+  E          = n_bits - sign_bits - M
+  bias       = round(2^E - log2(maxval) + log2(2 - 2^-M) - 1)
+  xc         = clip(x, -maxval | 0, maxval)
+  log_scales = clamp(floor(log2|xc| + bias) [stop-grad], min=1)
+  scales     = 2^(log_scales - M - bias)
+  result     = round_ste(xc / scales) * scales
+
+Returns ``(result, bias)``; the bias is consumed by the approx matmul path as
+the per-tensor/per-channel ``custom_bias`` (fp8_quantizer.py:244-246).
+
+Also hosts the grid-enumeration helpers used by tests and the analytic error
+model (fp8_quantizer.py:13-94).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .rounding import exp2_exact, round_ste
+
+
+def quantize_to_fp8_ste(x_float, n_bits: int, maxval, mantissa_bits, sign_bits: int):
+    """Fake-quantize ``x_float`` onto the FP8/ExMy grid defined by ``maxval``.
+
+    Args:
+      x_float: input array.
+      n_bits: total bits (static int).
+      maxval: largest representable magnitude; shape ``(1,)`` per-tensor or
+        ``(C,)`` per-channel (leading axis of ``x_float``), or any shape
+        broadcastable to ``x_float``.
+      mantissa_bits: float scalar array (learnable in QAT).
+      sign_bits: 0 or 1 (static int).
+
+    Returns:
+      (result, bias): the quantized-dequantized tensor and the derived
+      exponent bias (same shape as ``maxval`` after broadcast reshaping).
+    """
+    x_float = jnp.asarray(x_float)
+    maxval = jnp.asarray(maxval, dtype=x_float.dtype)
+    mantissa_bits = jnp.asarray(mantissa_bits, dtype=x_float.dtype)
+
+    M = jnp.clip(round_ste(mantissa_bits), 1, n_bits - sign_bits)
+    E = n_bits - sign_bits - M
+
+    # per-channel maxval: reshape (C,) -> (C, 1, ..., 1)  (fp8_quantizer.py:114-115)
+    if maxval.ndim >= 1 and maxval.shape[0] != 1 and maxval.ndim != x_float.ndim:
+        maxval = maxval.reshape((-1,) + (1,) * (x_float.ndim - 1))
+
+    bias = 2.0**E - jnp.log2(maxval) + jnp.log2(2 - 2.0 ** (-M)) - 1
+    bias = jnp.round(bias)
+
+    minval = -maxval if sign_bits == 1 else jnp.zeros_like(maxval)
+    xc = jnp.minimum(jnp.maximum(x_float, minval), maxval)
+
+    # floor(log2|xc| + bias) computed exactly in integer arithmetic: frexp
+    # gives |xc| = m * 2^e with m in [0.5, 1), so log2|xc| in [e-1, e) and
+    # floor(log2|xc| + bias) == e - 1 + bias for integral bias. This avoids
+    # XLA's inexact log2 (the reference's torch.log2, fp8_quantizer.py:144,
+    # is correctly rounded) and maps directly onto integer VPU ops in the
+    # Pallas kernels.
+    _, frexp_e = jnp.frexp(lax.stop_gradient(xc))
+    log_scales = jnp.maximum((frexp_e - 1).astype(bias.dtype) + bias, 1.0)
+
+    scales = exp2_exact(log_scales - M - bias)
+
+    result = round_ste(xc / scales) * scales
+    return result, bias
+
+
+def fp8_grid(num_total_bits: int = 8, num_exponent_bits: int = 4, bias: int = 8) -> np.ndarray:
+    """Enumerate every representable value of the format, sorted ascending.
+
+    Host-side helper mirroring ``generate_all_values_fp``
+    (fp8_quantizer.py:13-41); used by idempotency tests and the analytic
+    error model.
+    """
+    num_fraction_bits = num_total_bits - 1 - num_exponent_bits
+    all_values = []
+    for s in (-1.0, 1.0):
+        for e_enc in range(2**num_exponent_bits):
+            is_subnormal = 1 if (e_enc - bias) == -bias else 0
+            for f_enc in range(2**num_fraction_bits):
+                frac = f_enc * 2.0**-num_fraction_bits + 1 - is_subnormal
+                all_values.append(s * 2.0 ** (e_enc - bias + is_subnormal) * frac)
+    return np.sort(np.array(all_values))
+
+
+def fp8_grid_scaled(num_total_bits: int, num_exp_bits: int, exp_bias: int,
+                    range_limit_fp: float) -> np.ndarray:
+    """Grid rescaled so its max magnitude equals ``range_limit_fp``
+    (fp8_quantizer.py:44-50)."""
+    grid = fp8_grid(num_total_bits, num_exp_bits, exp_bias)
+    float_scale = np.max(np.abs(grid)) / range_limit_fp
+    return grid / float_scale
+
+
+def fp8_max_value(num_exponent_bits: int = 4, bias: int = 8) -> float:
+    """Largest representable magnitude of an 8-bit format
+    (fp8_quantizer.py:88-94)."""
+    num_fraction_bits = 7 - num_exponent_bits
+    max_frac = 1 - 2.0**-num_fraction_bits
+    return 2.0 ** (2**num_exponent_bits - 1 - bias) * (1 + max_frac)
+
+
+def default_maxval(n_bits: int, mantissa_bits: int) -> float:
+    """Default signed maxval ``(2 - 2^-M) * 2^(2^E - 1 - default_bias)``
+    (fp8_quantizer.py:216-219)."""
+    ebits = n_bits - mantissa_bits - 1
+    default_bias = 2.0 ** (ebits - 1)
+    return (2 - 2.0**-mantissa_bits) * 2.0 ** (2**ebits - 1 - default_bias)

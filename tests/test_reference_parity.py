@@ -1,0 +1,240 @@
+"""Bit-exactness parity vs the reference torch implementation (dev-only).
+
+These tests run only when the read-only reference checkout exists; they
+exec the reference's own torch code on CPU and compare against our jnp
+implementations elementwise.
+"""
+
+import numpy as np
+import pytest
+
+from tests.reference_loader import (
+    load_reference_fp8_quantizer,
+    load_reference_module,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present"
+)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_v9():
+    return load_reference_module(
+        "approx/approx_matmul_whole_v9.py", "_ref_v9"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_fp8():
+    return load_reference_fp8_quantizer()
+
+
+@pytest.mark.parametrize("ew,mw,bias", [(4, 3, 7), (3, 4, 3), (2, 5, 1), (3, 4, 8)])
+def test_codec_decompose_parity(ref_v9, ew, mw, bias, rng):
+    from fp8_quantization_tpu.numerics import decompose
+
+    pd = ref_v9.param_prepare(ew, mw, custom_bias=bias)
+    # mix of normals, subnormals, zeros, negatives, overflow values
+    x = np.concatenate(
+        [
+            rng.normal(size=997).astype(np.float32) * pd["max_norm"],
+            rng.normal(size=251).astype(np.float32) * pd["min_norm"],
+            np.array([0.0, pd["min_subnorm"], -pd["min_subnorm"], pd["max_norm"] * 3], np.float32),
+        ]
+    )
+    re, rm = ref_v9.float_to_fpany_absint_torch(pd, torch.from_numpy(x), clip_OF=False)
+    oe, om = decompose(x, mw, bias)
+    np.testing.assert_array_equal(np.asarray(oe), re.numpy())
+    np.testing.assert_array_equal(np.asarray(om), rm.numpy())
+
+    re2, rm2 = ref_v9.float_to_fpany_absint_torch(pd, torch.from_numpy(x), clip_OF=True)
+    oe2, om2 = decompose(x, mw, bias, expo_width=ew, clip_of=True)
+    np.testing.assert_array_equal(np.asarray(oe2), re2.numpy())
+    np.testing.assert_array_equal(np.asarray(om2), rm2.numpy())
+
+
+@pytest.mark.parametrize("ew,mw,bias", [(4, 3, 7), (3, 4, 3), (2, 5, 1)])
+def test_quantize_exmy_parity(ref_v9, ew, mw, bias, rng):
+    from fp8_quantization_tpu.numerics import quantize_exmy
+
+    x = (rng.normal(size=4096) * 8).astype(np.float32)
+    for clip in (True, False):
+        ref = ref_v9.quant_to_fp_any_vectorize_torch(
+            torch.from_numpy(x), ew, mw, custom_bias=bias, clip_OF=clip
+        ).numpy()
+        ours = np.asarray(quantize_exmy(x, ew, mw, bias, clip_of=clip))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_value_space_parity(ref_v9):
+    from fp8_quantization_tpu.numerics import value_space
+
+    for ew, mw, bias in [(4, 3, 7), (3, 4, 5), (2, 5, 0)]:
+        ref = ref_v9.show_value_space(ew, mw, bias, show_style=0).numpy()
+        ours = np.asarray(value_space(ew, mw, bias))
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("mant_bits", [2.0, 3.0, 4.0, 5.0])
+@pytest.mark.parametrize("sign_bits", [0, 1])
+def test_fp8_ste_parity(ref_fp8, mant_bits, sign_bits, rng):
+    from fp8_quantization_tpu.numerics import quantize_to_fp8_ste
+
+    x = (rng.normal(size=(64, 32)) * 3).astype(np.float32)
+    maxval = np.array([2.37], dtype=np.float32)
+    ref_res, ref_bias = ref_fp8.quantize_to_fp8_ste_MM(
+        torch.from_numpy(x),
+        8,
+        torch.from_numpy(maxval),
+        torch.tensor([mant_bits]),
+        sign_bits,
+    )
+    res, bias = quantize_to_fp8_ste(x, 8, maxval, mant_bits, sign_bits)
+    np.testing.assert_array_equal(np.asarray(res), ref_res.numpy())
+    np.testing.assert_array_equal(np.asarray(bias), ref_bias.numpy())
+
+
+def test_fp8_ste_per_channel_parity(ref_fp8, rng):
+    from fp8_quantization_tpu.numerics import quantize_to_fp8_ste
+
+    x = (rng.normal(size=(8, 16, 3, 3)) * 2).astype(np.float32)
+    maxval = np.abs(rng.normal(size=8)).astype(np.float32) + 0.5
+    ref_res, ref_bias = ref_fp8.quantize_to_fp8_ste_MM(
+        torch.from_numpy(x), 8, torch.from_numpy(maxval), torch.tensor([4.0]), 1
+    )
+    res, bias = quantize_to_fp8_ste(x, 8, maxval, 4.0, 1)
+    np.testing.assert_array_equal(np.asarray(res), ref_res.numpy())
+    np.testing.assert_array_equal(np.asarray(bias), ref_bias.numpy())
+
+
+def test_comp_tables_parity(ref_v9):
+    from fp8_quantization_tpu.numerics.luts import _tables
+
+    ours = _tables()
+    for i, ref_t in enumerate(ref_v9.comp_table_NN_list):
+        np.testing.assert_array_equal(np.asarray(ours[i]), ref_t.numpy().astype(np.int32))
+
+
+def test_error_table_selector_parity(ref_v9):
+    from fp8_quantization_tpu.numerics import get_error_table
+
+    cases = [
+        (4, 3, True, 3),
+        (4, 3, False, 3),
+        (3, 4, True, 3),
+        (3, 4, True, 4),
+        (3, 4, False, 3),
+        (2, 5, True, 3),
+        (2, 5, True, 4),
+        (2, 5, True, 5),
+        (2, 5, False, 3),
+    ]
+    for ew, mw, comp, d in cases:
+        ref = ref_v9.get_error_table_NN(ew, mw, comp, d).numpy().astype(np.int32)
+        ours = np.asarray(get_error_table(ew, mw, comp, d))
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(with_approx=True, with_s2nn2s_opt=False, quant_btw_mult_accu=True),
+        dict(with_approx=True, with_s2nn2s_opt=True, quant_btw_mult_accu=True),
+        dict(with_approx=False, with_s2nn2s_opt=False, quant_btw_mult_accu=False),
+        dict(with_approx=True, with_s2nn2s_opt=False, quant_btw_mult_accu=True,
+             golden_clip_OF=True),
+    ],
+    ids=["default", "s2nn2s", "noapprox", "clipOF"],
+)
+def test_approx_matmul_parity(ref_v9, kwargs, rng):
+    from fp8_quantization_tpu.numerics import approx_matmul_golden, get_error_table, quantize_exmy
+
+    ew, mw = 3, 4
+    ba, bb, br = 5, 6, 4
+    table = get_error_table(ew, mw, True, 3)
+
+    # operands drawn on the respective grids (as in the reference __main__ harness)
+    A = np.asarray(quantize_exmy((rng.normal(size=(24, 16)) * 2).astype(np.float32), ew, mw, ba))
+    B = np.asarray(quantize_exmy((rng.normal(size=(16, 20)) * 2).astype(np.float32), ew, mw, bb))
+
+    ref_kwargs = dict(kwargs)
+    golden_clip = ref_kwargs.pop("golden_clip_OF", False)
+    ref = ref_v9.custom_matmul_vectorize(
+        torch.from_numpy(np.asarray(A)),
+        torch.from_numpy(np.asarray(B)),
+        ew,
+        mw,
+        ba,
+        bb,
+        br,
+        torch.from_numpy(np.asarray(table)),
+        golden_clip_OF=golden_clip,
+        **ref_kwargs,
+    ).numpy()
+
+    ours = np.asarray(
+        approx_matmul_golden(
+            A,
+            B,
+            ew,
+            mw,
+            ba,
+            bb,
+            br,
+            table,
+            with_approx=kwargs.get("with_approx", True),
+            with_s2nn2s_opt=kwargs.get("with_s2nn2s_opt", False),
+            quant_btw_mult_accu=kwargs.get("quant_btw_mult_accu", True),
+            golden_clip_of=golden_clip,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_approx_matmul_per_column_bias_matches_looped_reference(ref_v9, rng):
+    """Our vectorized per-output-channel bias == reference called per column
+    (approx_calculation.py:946-971 loops channels)."""
+    from fp8_quantization_tpu.numerics import approx_matmul_golden, get_error_table, quantize_exmy
+
+    ew, mw = 3, 4
+    ba, br = 5, 4
+    n = 6
+    bias_b = np.array([3, 4, 5, 6, 7, 8], dtype=np.int32)
+    table = get_error_table(ew, mw, False, 3)
+
+    A = np.asarray(quantize_exmy((rng.normal(size=(12, 8)) * 2).astype(np.float32), ew, mw, ba))
+    B_cols = []
+    for j in range(n):
+        B_cols.append(
+            np.asarray(
+                quantize_exmy(
+                    (rng.normal(size=(8,)) * 2).astype(np.float32), ew, mw, int(bias_b[j])
+                )
+            )
+        )
+    B = np.stack(B_cols, axis=1)
+
+    ref_cols = []
+    for j in range(n):
+        ref_cols.append(
+            ref_v9.custom_matmul_vectorize(
+                torch.from_numpy(A),
+                torch.from_numpy(B[:, j : j + 1]),
+                ew,
+                mw,
+                ba,
+                int(bias_b[j]),
+                br,
+                torch.from_numpy(np.asarray(table)),
+            ).numpy()[:, 0]
+        )
+    ref = np.stack(ref_cols, axis=1)
+
+    ours = np.asarray(
+        approx_matmul_golden(A, B, ew, mw, ba, bias_b, br, table)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)

@@ -43,7 +43,8 @@ def quantize_to_fp8_ste(x_float, n_bits: int, maxval, mantissa_bits, sign_bits: 
         ``(C,)`` per-channel (leading axis of ``x_float``), or any shape
         broadcastable to ``x_float``.
       mantissa_bits: float scalar array (learnable in QAT).
-      sign_bits: 0 or 1 (static int).
+      sign_bits: 0 or 1 — a static int or a traced int array (the latter
+        supports data-dependent unsigned detection under jit).
 
     Returns:
       (result, bias): the quantized-dequantized tensor and the derived
@@ -52,9 +53,10 @@ def quantize_to_fp8_ste(x_float, n_bits: int, maxval, mantissa_bits, sign_bits: 
     x_float = jnp.asarray(x_float)
     maxval = jnp.asarray(maxval, dtype=x_float.dtype)
     mantissa_bits = jnp.asarray(mantissa_bits, dtype=x_float.dtype)
+    sign_b = jnp.asarray(sign_bits, dtype=x_float.dtype)
 
-    M = jnp.clip(round_ste(mantissa_bits), 1, n_bits - sign_bits)
-    E = n_bits - sign_bits - M
+    M = jnp.clip(round_ste(mantissa_bits), 1, n_bits - sign_b)
+    E = n_bits - sign_b - M
 
     # per-channel maxval: reshape (C,) -> (C, 1, ..., 1)  (fp8_quantizer.py:114-115)
     if maxval.ndim >= 1 and maxval.shape[0] != 1 and maxval.ndim != x_float.ndim:
@@ -63,7 +65,7 @@ def quantize_to_fp8_ste(x_float, n_bits: int, maxval, mantissa_bits, sign_bits: 
     bias = 2.0**E - jnp.log2(maxval) + jnp.log2(2 - 2.0 ** (-M)) - 1
     bias = jnp.round(bias)
 
-    minval = -maxval if sign_bits == 1 else jnp.zeros_like(maxval)
+    minval = jnp.where(sign_b == 1, -maxval, jnp.zeros_like(maxval))
     xc = jnp.minimum(jnp.maximum(x_float, minval), maxval)
 
     # floor(log2|xc| + bias) computed exactly in integer arithmetic: frexp

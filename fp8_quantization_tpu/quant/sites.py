@@ -1,0 +1,109 @@
+"""QuantSite: one quantized tensor site (act / weight / res) as a flax module.
+
+TPU-native replacement for the reference's ``QuantizationManager`` + the
+``Qstates`` mutable state machine
+(`/root/reference/quantization/quantization_manager.py:28-139`): instead of a
+mode flag mutated on a module, the *call* carries a phase:
+
+* ``phase="estimate"`` — fold the batch into the range-estimator state,
+  derive ranges, update quantizer params, then quantize
+  (manager.forward:114-122). Requires the ``quant``/``quant_est`` collections
+  to be mutable in ``Module.apply``.
+* ``phase="fixed"``   — quantize with frozen params (Qstates.fix_ranges).
+
+Calibrate-then-freeze is therefore a pure function from (variables, batches)
+to new variables — jittable, shardable, checkpointable as a pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import EstimatorConfig, QMethod, QuantizerConfig
+from . import estimators, quantizers
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantPhase:
+    """Static per-call quantization context.
+
+    Replaces the reference's ``_quant_w``/``_quant_a`` buffers
+    (base_quantized_classes.py:104-105) and ``Qstates`` with explicit, static
+    call context — one trace per phase.
+    """
+
+    phase: str = "fixed"  # "estimate" | "fixed"
+    quant_w: bool = True
+    quant_a: bool = True
+    grad_scaling: bool = False
+
+    @property
+    def estimating(self) -> bool:
+        return self.phase == "estimate"
+
+
+FP32 = QuantPhase(quant_w=False, quant_a=False)
+ESTIMATE = QuantPhase(phase="estimate")
+FIXED = QuantPhase(phase="fixed")
+
+
+class QuantSite(nn.Module):
+    """Quantizer + range estimator for one tensor site."""
+
+    qcfg: QuantizerConfig
+    ecfg: EstimatorConfig
+    channel_axis: int = -1
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED, *, with_bias: bool = False):
+        """Quantize ``x``; optionally also return the FP exponent bias.
+
+        Returns ``y`` or ``(y, bias)`` when ``with_bias`` (the approx-matmul
+        path needs the derived ``custom_bias``, hijacker.py:130-137).
+        """
+        per_channel = self.qcfg.per_channel
+        c = x.shape[self.channel_axis] if per_channel else 1
+
+        qstate = self.variable("quant", "q", lambda: quantizers.init(self.qcfg, c))
+        estate = self.variable(
+            "quant_est",
+            "est",
+            lambda: estimators.init(self.ecfg, self.qcfg, x.shape, per_channel,
+                                    self.channel_axis),
+        )
+
+        q = qstate.value
+        if qp.estimating:
+            new_est, (x_min, x_max, mbits) = estimators.update(
+                self.ecfg, self.qcfg, estate.value, x, per_channel, self.channel_axis
+            )
+            q = quantizers.set_quant_range(self.qcfg, q, x_min, x_max)
+            if mbits is not None and self.qcfg.method == QMethod.fp_quantizer:
+                # FP_MSE elects mantissa bits (range_estimators.py:364-366)
+                q = dict(q, mantissa_bits=mbits.astype(jnp.float32))
+            if self.is_mutable_collection("quant"):
+                qstate.value = q
+            if self.is_mutable_collection("quant_est"):
+                estate.value = new_est
+
+        if self.qcfg.method == QMethod.fp_quantizer:
+            y, bias = quantizers.fp_apply(self.qcfg, q, x, self.channel_axis)
+        else:
+            y = quantizers.uniform_apply(
+                self.qcfg, q, x, self.channel_axis, qp.grad_scaling
+            )
+            bias = None
+        if with_bias:
+            return y, bias
+        return y
+
+    def fp_bias(self, qp: QuantPhase = FIXED):
+        """Derived exponent bias from the current state (manager.get_fp_bias)."""
+        qstate = self.get_variable("quant", "q")
+        if qstate is None or self.qcfg.method != QMethod.fp_quantizer:
+            return None
+        return quantizers.fp_bias(self.qcfg, qstate)

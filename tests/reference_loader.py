@@ -96,3 +96,26 @@ def load_reference_fp8_quantizer():
             "quantization.quantizers.rounding_utils": rounding_stub,
         },
     )
+
+
+def load_reference_range_estimators():
+    """Load the reference range estimators with deps stubbed."""
+    import enum
+    import types as _t
+
+    utils_stub = _t.ModuleType("utils")
+
+    class _BaseEnumOptions(enum.Enum):
+        pass
+
+    utils_stub.BaseEnumOptions = _BaseEnumOptions
+    utils_stub.MethodMap = staticmethod
+    utils_stub.ClassEnumOptions = object
+    utils_stub.to_numpy = lambda t: t.detach().cpu().numpy()
+
+    mod = load_reference_module(
+        "quantization/range_estimators.py",
+        "_ref_range_estimators",
+        stubs={"utils": utils_stub},
+    )
+    return mod

@@ -139,6 +139,67 @@ def test_error_table_selector_parity(ref_v9):
         np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.fixture(scope="module")
+def ref_re():
+    from tests.reference_loader import load_reference_range_estimators
+
+    return load_reference_range_estimators()
+
+
+@pytest.mark.parametrize(
+    "per_channel,include_mbits",
+    [(False, True), (True, True), (False, False)],
+    ids=["per-tensor", "per-channel", "fixed-mbits"],
+)
+def test_fp_mse_estimator_parity(ref_fp8, ref_re, per_channel, include_mbits, rng):
+    """Our vmapped FP_MSE grid search == the reference's stateful loop."""
+    from fp8_quantization_tpu.config import (
+        EstimatorConfig,
+        FP8Config,
+        QMethod,
+        QuantizerConfig,
+        RangeMethod,
+    )
+    from fp8_quantization_tpu.quant import estimators
+
+    batches = [
+        (rng.normal(size=(4, 32)) * s).astype(np.float32) for s in (1.0, 2.0)
+    ]
+
+    quant = ref_fp8.FPQuantizer(
+        n_bits=8,
+        per_channel=per_channel,
+        mantissa_bits=4,
+        set_maxval=True,
+        mse_include_mantissa_bits=include_mbits,
+    )
+    est = ref_re.FP_MSE_Estimator(per_channel=per_channel, quantizer=quant)
+    for b in batches:
+        rx_min, rx_max = est.forward(torch.from_numpy(b))
+    ref_mbits = float(quant.mantissa_bits)
+
+    qcfg = QuantizerConfig(
+        method=QMethod.fp_quantizer,
+        per_channel=per_channel,
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=include_mbits,
+                      mantissa_bits=4),
+    )
+    ecfg = EstimatorConfig(RangeMethod.MSE)
+    state = estimators.init(ecfg, qcfg, batches[0].shape, per_channel, 0)
+    for b in batches:
+        state, (x_min, x_max, mbits) = estimators.update(
+            ecfg, qcfg, state, b, per_channel, 0
+        )
+
+    assert float(mbits[0]) == ref_mbits
+    np.testing.assert_allclose(
+        np.asarray(x_max).ravel(), rx_max.numpy().ravel(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_min).ravel(), rx_min.numpy().ravel(), rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize(
     "kwargs",
     [

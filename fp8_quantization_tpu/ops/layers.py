@@ -1,0 +1,408 @@
+"""Quantized layers with the reference's forward protocol, as flax modules.
+
+TPU-native replacement for the ``QuantizationHijacker`` mixin zoo
+(`/root/reference/quantization/hijacker.py:32-151`,
+`quantization/quantized_folded_bn.py`, `quantization/autoquant_utils.py`,
+`approx/approx_calculation.py`): instead of hijacking ``nn.Module.forward`` at
+runtime, each layer *is defined* with three QuantSites (activation / result /
+weight) and executes the protocol explicitly:
+
+  input-quant -> weight-quant -> matmul/conv -> res-quant ->
+  [approx | quantize-after-mult-and-add rerun] -> fused activation ->
+  output-quant
+
+The reference's ``fix_ranges_flag`` double-run (hijacker.py:88-102) maps onto
+the phase context: during ``estimate`` the plain product always runs (it
+drives the res-quantizer's range estimation); in ``fixed`` phase it runs only
+under ``original_quantize_res``. One deviation: if no approx/qama path is
+armed and ``original_quantize_res`` is off, the plain product is still
+returned in fixed phase (the reference would hit an unbound local there).
+
+The approx matmul here calls the golden jnp oracle with *vectorized*
+per-output-channel weight biases (the reference loops output channels,
+approx_calculation.py:613-638); the fused Pallas kernel slots in behind the
+same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ApproxConfig, QuantConfig
+from ..numerics.approx_matmul import approx_matmul_golden
+from ..numerics.luts import get_error_table
+from ..quant.sites import FIXED, QuantPhase, QuantSite
+
+Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+
+
+def default_fp_bias(approx: ApproxConfig):
+    """Fallback when a site has no FP bias (approx_calculation.py:605-606)."""
+    return jnp.asarray([float(2 ** (approx.expo_width - 1))], jnp.float32)
+
+
+def approx_matmul_2d(x2d, w2d, bias_a, bias_b, bias_r, approx: ApproxConfig):
+    """(M, K) @ (K, N) through the approximate-multiplier simulation.
+
+    ``bias_b`` is the per-output-channel weight bias vector — one vectorized
+    call replaces the reference's per-channel python loop
+    (approx_calculation.py:613-638).
+    """
+    table = get_error_table(
+        approx.expo_width, approx.mant_width, approx.with_comp, approx.dnsmp_factor
+    )
+    return approx_matmul_golden(
+        x2d,
+        w2d,
+        approx.expo_width,
+        approx.mant_width,
+        jnp.asarray(bias_a, jnp.int32).reshape(()),
+        jnp.asarray(bias_b, jnp.int32).reshape(-1),
+        jnp.asarray(bias_r, jnp.int32).reshape(()),
+        table,
+        with_approx=approx.with_approx,
+        with_s2nn2s_opt=approx.with_s2nn2s_opt,
+        sim_hw_add_ofuf=approx.sim_hw_add_ofuf,
+        with_of_opt=approx.with_of_opt,
+        with_uf_opt=approx.with_uf_opt,
+        golden_clip_of=approx.golden_clip_of,
+        quant_btw_mult_accu=approx.quant_btw_mult_accu,
+    )
+
+
+def qama_matmul_2d(x2d, w2d, res_quant: Callable):
+    """quantize-after-mult-and-add (approx_calculation.py:627-634): quantize
+    every partial product with the res-quantizer's FP8 params, sum over K,
+    quantize again."""
+    prod3d = x2d[:, :, None] * w2d[None, :, :]
+    res2d = res_quant(prod3d).sum(axis=1)
+    return res_quant(res2d)
+
+
+class _Sites:
+    """The three QuantSites of one hijacked layer (hijacker.py:50-75)."""
+
+    def __init__(self, module: "_QuantOpBase"):
+        qc = module.qc
+        self.act = QuantSite(
+            qc.act_quantizer(module.n_bits_act), qc.act_range,
+            name="activation_quantizer",
+        )
+        self.res = QuantSite(
+            qc.act_quantizer(module.n_bits_act), qc.act_range,
+            name="res_quantizer",
+        )
+        self.weight = QuantSite(
+            qc.weight_quantizer(module.n_bits_w), qc.weight_range,
+            channel_axis=-1, name="weight_quantizer",
+        )
+
+
+class _QuantOpBase(nn.Module):
+    """Shared protocol pieces. Subclasses provide the linear op."""
+
+    qc: QuantConfig = QuantConfig()
+    activation: Activation = None
+    n_bits_w: Optional[int] = None
+    n_bits_act: Optional[int] = None
+
+    def _quant_in(self, sites: _Sites, x, qp: QuantPhase):
+        a_bias = None
+        if self.qc.quantize_input and qp.quant_a:
+            x, a_bias = sites.act(x, qp, with_bias=True)
+        return x, a_bias
+
+    def _quant_weight(self, sites: _Sites, kernel, qp: QuantPhase):
+        if qp.quant_w:
+            return sites.weight(kernel, qp, with_bias=True)
+        return kernel, None
+
+    def _special_armed(self) -> bool:
+        rm = self.qc.run_method
+        return rm.res_quantizer_flag and (
+            rm.approx_flag or rm.quantize_after_mult_and_add
+        )
+
+    def _plain_first(self, qp: QuantPhase) -> bool:
+        rm = self.qc.run_method
+        return qp.estimating or rm.original_quantize_res or not self._special_armed()
+
+    def _special_matmul(self, sites: _Sites, x2d, w2d, a_bias, w_bias):
+        """Dispatch the armed special path on a 2-D matmul."""
+        rm = self.qc.run_method
+        if rm.quantize_after_mult_and_add:
+            return qama_matmul_2d(x2d, w2d, lambda t: sites.res(t, FIXED))
+        approx = self.qc.approx
+        a_b = a_bias if a_bias is not None else default_fp_bias(approx)
+        r_bias = sites.res.fp_bias()
+        r_b = r_bias if r_bias is not None else default_fp_bias(approx)
+        if w_bias is None:
+            raise ValueError("approx path requires quantized weights")
+        return approx_matmul_2d(x2d, w2d, a_b[0], w_bias, r_b[0], approx)
+
+    def _tail(self, sites: _Sites, res, qp: QuantPhase):
+        if self.activation is not None:
+            res = self.activation(res)
+        if not self.qc.quantize_input and qp.quant_a:
+            res = sites.act(res, qp)
+        return res
+
+
+class QuantDense(_QuantOpBase):
+    """Quantized fully-connected layer (~ ``QuantLinear``,
+    autoquant_utils.py:166-174)."""
+
+    features: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        sites = _Sites(self)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+
+        x, a_bias = self._quant_in(sites, x, qp)
+        w, w_bias = self._quant_weight(sites, kernel, qp)
+
+        res = None
+        if self._plain_first(qp):
+            res = x @ w
+            if bias is not None:
+                res = res + bias
+            if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:
+                res = sites.res(res, qp)
+
+        if self._special_armed():
+            x2d = x.reshape(-1, x.shape[-1])
+            out2d = self._special_matmul(sites, x2d, w, a_bias, w_bias)
+            res = out2d.reshape(*x.shape[:-1], self.features)
+            if bias is not None:
+                res = res + bias
+
+        return self._tail(sites, res, qp)
+
+
+def conv_patches(x, kernel_shape, strides, padding, dilation):
+    """im2col via XLA (replaces the python-loop im2col,
+    approx_calculation.py:552-575). Returns (B, OH, OW, KH*KW*I) patches whose
+    last-dim ordering matches a (KH, KW, I, O) kernel reshaped to
+    ``(KH*KW*I, O)``."""
+    kh, kw, _, _ = kernel_shape
+    in_ch = x.shape[-1]
+    patches = lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kh, kw),
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # patches features are ordered (I, KH, KW); reorder to (KH, KW, I)
+    b, oh, ow, _ = patches.shape
+    patches = patches.reshape(b, oh, ow, in_ch, kh * kw)
+    patches = jnp.moveaxis(patches, 3, 4).reshape(b, oh, ow, kh * kw * in_ch)
+    return patches
+
+
+class QuantConv(_QuantOpBase):
+    """Quantized 2-D convolution (~ ``QuantConv``/``BNQConv`` conv part,
+    autoquant_utils.py:20-122).
+
+    NHWC inputs, HWIO kernels; per-channel weight quantization along O.
+    Grouped/depthwise via ``feature_group_count``; the special paths run the
+    groups as one batched (vmapped) matmul instead of the reference's python
+    loop (approx_calculation.py:691-708).
+    """
+
+    features: int = 0
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        sites = _Sites(self)
+        res = self._conv_body(sites, x, qp)
+        return self._tail(sites, res, qp)
+
+    def _conv_body(self, sites: _Sites, x, qp: QuantPhase):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        g = self.feature_group_count
+        kernel_shape = (kh, kw, in_ch // g, self.features)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), kernel_shape)
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias
+            else None
+        )
+
+        x, a_bias = self._quant_in(sites, x, qp)
+        w, w_bias = self._quant_weight(sites, kernel, qp)
+
+        res = None
+        if self._plain_first(qp):
+            res = lax.conv_general_dilated(
+                x, w,
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+            )
+            if bias is not None:
+                res = res + bias
+            if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:
+                res = sites.res(res, qp)
+
+        if self._special_armed():
+            patches = conv_patches(
+                x, kernel_shape, self.strides, self.padding, self.kernel_dilation
+            )
+            b_sp, oh, ow, _ = patches.shape
+            m = b_sp * oh * ow
+            in_per_group = in_ch // g
+            kg = kh * kw * in_per_group
+            og = self.features // g
+            # patches last dim ordered (KH, KW, I); I splits into (G, I/g)
+            pg = patches.reshape(m, kh * kw, g, in_per_group)
+            pg = jnp.moveaxis(pg, 2, 0).reshape(g, m, kg)
+            wg = w.reshape(kh * kw, in_per_group, g, og)
+            wg = jnp.moveaxis(wg, 2, 0).reshape(g, kg, og)
+            wb_g = (w_bias.reshape(g, og) if w_bias is not None else
+                    jnp.zeros((g, og)))
+
+            rm = self.qc.run_method
+            if rm.quantize_after_mult_and_add:
+                res_q = lambda t: sites.res(t, FIXED)
+                outs = [qama_matmul_2d(pg[i], wg[i], res_q) for i in range(g)]
+                out_g = jnp.stack(outs) if g > 1 else outs[0][None]
+            else:
+                approx = self.qc.approx
+                a_b = a_bias if a_bias is not None else default_fp_bias(approx)
+                r_bias = sites.res.fp_bias()
+                r_b = r_bias if r_bias is not None else default_fp_bias(approx)
+                if w_bias is None:
+                    raise ValueError("approx path requires quantized weights")
+
+                def one_group(p2d, w2d, wb):
+                    return approx_matmul_2d(p2d, w2d, a_b[0], wb, r_b[0], approx)
+
+                out_g = jax.vmap(one_group)(pg, wg, wb_g)
+
+            out = jnp.moveaxis(out_g, 0, 1).reshape(m, self.features)
+            res = out.reshape(b_sp, oh, ow, self.features)
+            if bias is not None:
+                res = res + bias
+        return res
+
+
+class BNQuantConv(QuantConv):
+    """Quantized conv + *unfolded* batch norm (~ ``BNQConv`` via
+    ``BNFusedHijacker``, quantized_folded_bn.py:18-95).
+
+    BN keeps FP32 running stats and gamma/beta, applied after the quantized
+    conv result (and any res-quant / special rerun), before the fused
+    activation — the reference's exact ordering (quantized_folded_bn.py:30-82).
+    ``reestimate=True`` recomputes running stats from the batch (the BN
+    re-estimation pass, utils/qat_utils.py:48-108, averages these over
+    batches in the eval driver).
+    """
+
+    bn_epsilon: float = 1e-5  # torch BatchNorm2d default, mirrored by BNQConv
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED, reestimate: bool = False):
+        sites = _Sites(self)
+        res = self._conv_body(sites, x, qp)
+
+        gamma = self.param("gamma", nn.initializers.ones_init(), (self.features,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (self.features,))
+        running_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        running_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if reestimate:
+            mean = jnp.mean(res, axis=(0, 1, 2))
+            var = jnp.var(res, axis=(0, 1, 2))
+            if self.is_mutable_collection("batch_stats"):
+                running_mean.value = mean
+                running_var.value = var
+        else:
+            mean, var = running_mean.value, running_var.value
+        res = (res - mean) * lax.rsqrt(var + self.bn_epsilon) * gamma + beta
+
+        return self._tail(sites, res, qp)
+
+
+class QuantLayerNorm(_QuantOpBase):
+    """Quantized LayerNorm (~ ``QuantLayerNorm``, autoquant_utils.py:60-91):
+    gamma is quantized as the "weight", the output as the activation."""
+
+    epsilon: float = 1e-6
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        sites = _Sites(self)
+        features = x.shape[-1]
+
+        x, _ = self._quant_in(sites, x, qp)
+
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * lax.rsqrt(var + self.epsilon)
+
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones_init(), (features,))
+            if qp.quant_w:
+                scale = sites.weight(scale, qp)
+            y = y * scale
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(), (features,))
+            y = y + b
+
+        return self._tail(sites, y, qp)
+
+
+class QuantizedActWrapper(nn.Module):
+    """Wrap a parameter-free op (avg-pool etc.) with activation quantization
+    (~ ``QuantizedActivationWrapper``, autoquant_utils.py:125-163).
+
+    With ``tie_input_output`` the same site quantizes input and output (the
+    reference's ``tie_activation_quantizers``)."""
+
+    qc: QuantConfig = QuantConfig()
+    op: Callable[[jnp.ndarray], jnp.ndarray] = lambda x: x
+    tie_input_output: bool = False
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        site = QuantSite(
+            self.qc.act_quantizer(), self.qc.act_range,
+            name="activation_quantizer",
+        )
+        if self.tie_input_output and qp.quant_a:
+            x = site(x, qp)
+        y = self.op(x)
+        if qp.quant_a:
+            y = site(y, qp)
+        return y

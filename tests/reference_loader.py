@@ -98,6 +98,182 @@ def load_reference_fp8_quantizer():
     )
 
 
+def _make_utils_stub():
+    """Faithful stand-in for the reference's ``utils`` package exports used by
+    the quantization modules (utils/utils.py:297-315)."""
+    import enum
+    import itertools
+    import types as _t
+    from collections import namedtuple
+
+    utils_stub = _t.ModuleType("utils")
+
+    class BaseEnumOptions(enum.Enum):
+        def __str__(self):
+            return self.name
+
+        @classmethod
+        def list_names(cls):
+            return [m.name for m in cls]
+
+    class ClassEnumOptions(BaseEnumOptions):
+        @property
+        def cls(self):
+            return self.value.cls
+
+        def __call__(self, *args, **kwargs):
+            return self.value.cls(*args, **kwargs)
+
+    _MM = namedtuple("MethodMap", ["value", "cls"])
+    _ctr = itertools.count(1)
+
+    utils_stub.BaseEnumOptions = BaseEnumOptions
+    utils_stub.ClassEnumOptions = ClassEnumOptions
+    utils_stub.MethodMap = lambda cls: _MM(next(_ctr), cls)
+    utils_stub.to_numpy = lambda t: t.detach().cpu().numpy()
+    return utils_stub
+
+
+def _make_timm_stubs():
+    """Stub the timm activation modules imported by hijacker.py:7-8."""
+    import types as _t
+
+    import torch
+    from torch import nn
+
+    def _mk(fn):
+        class _Act(nn.Module):
+            def __init__(self, inplace=False):
+                super().__init__()
+
+            def forward(self, x):
+                return fn(x)
+
+        return _Act
+
+    acts = _t.ModuleType("timm.models.layers.activations")
+    acts.Swish = _mk(lambda x: x * torch.sigmoid(x))
+    acts.HardSwish = _mk(lambda x: x * torch.nn.functional.hardsigmoid(x))
+    acts.HardSigmoid = _mk(torch.nn.functional.hardsigmoid)
+    acts_me = _t.ModuleType("timm.models.layers.activations_me")
+    acts_me.SwishMe = acts.Swish
+    acts_me.HardSwishMe = acts.HardSwish
+    acts_me.HardSigmoidMe = acts.HardSigmoid
+
+    timm = _t.ModuleType("timm")
+    models = _t.ModuleType("timm.models")
+    layers = _t.ModuleType("timm.models.layers")
+    timm.models = models
+    models.layers = layers
+    layers.activations = acts
+    layers.activations_me = acts_me
+    return {
+        "timm": timm,
+        "timm.models": models,
+        "timm.models.layers": layers,
+        "timm.models.layers.activations": acts,
+        "timm.models.layers.activations_me": acts_me,
+    }
+
+
+_QUANT_STACK_CACHE = None
+
+
+def load_reference_quant_stack():
+    """Load the reference's full quantization module stack for parity tests.
+
+    Returns a namespace with ``autoquant_utils``, ``quantization_manager``,
+    ``base_quantized_classes``, ``hijacker``, ``quantized_folded_bn``,
+    ``range_estimators``, ``fp8_quantizer``, ``uniform_quantizers``.
+    """
+    global _QUANT_STACK_CACHE
+    if _QUANT_STACK_CACHE is not None:
+        return _QUANT_STACK_CACHE
+
+    import sys
+    import types as _t
+
+    utils_stub = _make_utils_stub()
+    stubs = {"utils": utils_stub}
+    stubs.update(_make_timm_stubs())
+
+    # fake package skeleton so absolute/relative imports resolve
+    qpkg = _t.ModuleType("quantization")
+    qzpkg = _t.ModuleType("quantization.quantizers")
+    qpkg.__path__ = []
+    qzpkg.__path__ = []
+    stubs["quantization"] = qpkg
+    stubs["quantization.quantizers"] = qzpkg
+
+    import numpy as _np
+
+    stubs["cupy"] = _np  # cupy used as drop-in numpy (approx_calculation.py:6)
+    apkg = _t.ModuleType("approx")
+    apkg.__path__ = []
+    stubs["approx"] = apkg
+
+    order = [
+        ("quantization/quantizers/utils.py", "quantization.quantizers.utils"),
+        ("quantization/quantizers/base_quantizers.py",
+         "quantization.quantizers.base_quantizers"),
+        ("quantization/quantizers/rounding_utils.py",
+         "quantization.quantizers.rounding_utils"),
+        ("quantization/quantizers/fp8_quantizer.py",
+         "quantization.quantizers.fp8_quantizer"),
+        ("quantization/quantizers/uniform_quantizers.py",
+         "quantization.quantizers.uniform_quantizers"),
+        ("quantization/range_estimators.py", "quantization.range_estimators"),
+        ("quantization/quantization_manager.py",
+         "quantization.quantization_manager"),
+        ("quantization/base_quantized_classes.py",
+         "quantization.base_quantized_classes"),
+        ("quantization/hijacker.py", "quantization.hijacker"),
+        ("quantization/quantized_folded_bn.py",
+         "quantization.quantized_folded_bn"),
+        ("quantization/autoquant_utils.py", "quantization.autoquant_utils"),
+        ("approx/approx_matmul_whole_v9.py", "approx.approx_matmul_whole_v9"),
+        ("approx/approx_calculation.py", "approx.approx_calculation"),
+    ]
+
+    saved = {k: sys.modules.get(k) for k in stubs}
+    sys.modules.update(stubs)
+    ns = _t.SimpleNamespace()
+    try:
+        for relpath, name in order:
+            path = os.path.join(REFERENCE_ROOT, relpath)
+            with open(path) as f:
+                src = f.read().replace("device='cuda'", "device='cpu'")
+            mod = _t.ModuleType(name)
+            mod.__file__ = path
+            mod.__package__ = name.rsplit(".", 1)[0]
+            sys.modules[name] = mod
+            stubs[name] = mod
+            exec(compile(src, path, "exec"), mod.__dict__)
+            # attach to parent package for attribute-style access
+            parent_name, _, leaf = name.rpartition(".")
+            setattr(sys.modules[parent_name], leaf, mod)
+            setattr(ns, leaf, mod)
+            if name == "quantization.quantizers.uniform_quantizers":
+                # emulate quantization/quantizers/__init__.py exports
+                qzpkg.QuantizerBase = stubs[
+                    "quantization.quantizers.base_quantizers"].QuantizerBase
+                qzpkg.FPQuantizer = stubs[
+                    "quantization.quantizers.fp8_quantizer"].FPQuantizer
+                qzpkg.AsymmetricUniformQuantizer = mod.AsymmetricUniformQuantizer
+                qzpkg.SymmetricUniformQuantizer = mod.SymmetricUniformQuantizer
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for _, name in order:
+            sys.modules.pop(name, None)
+
+    _QUANT_STACK_CACHE = ns
+    return ns
+
+
 def load_reference_range_estimators():
     """Load the reference range estimators with deps stubbed."""
     import enum

@@ -1,0 +1,130 @@
+"""Torch-checkpoint porting: reference FP32 state dicts -> flax pytrees.
+
+Replaces the reference's load path (``mobilenetv2_quantized`` loading a torch
+``.pth.tar``, models/mobilenet_v2_quantized.py:95-113) for a JAX model: the
+FP32 checkpoint's conv/BN/linear tensors are mapped into the quantized model's
+``params`` / ``batch_stats`` collections. BN folding follows ``fold_bn``
+(autoquant_utils.py:266-289): conv+BN windows merge into one BNQuantConv
+keeping FP32 stats, and a conv bias preceding BN folds into ``running_mean``
+(autoquant_utils.py:281-283).
+
+Layout conversions: torch conv OIHW -> flax HWIO; torch linear (out, in) ->
+flax (in, out). All inputs are numpy arrays (call ``torch_state_to_numpy``
+on a torch state dict first).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mobilenet_v2 import INVERTED_RESIDUAL_SETTING
+
+
+def torch_state_to_numpy(state_dict) -> Dict[str, np.ndarray]:
+    """Detach a torch state dict to plain numpy (no torch needed downstream)."""
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()}
+
+
+def conv_kernel(w: np.ndarray) -> jnp.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def linear_kernel(w: np.ndarray) -> jnp.ndarray:
+    """torch (out, in) -> flax (in, out)."""
+    return jnp.asarray(np.transpose(w, (1, 0)))
+
+
+def _conv_bn(state: Mapping[str, np.ndarray], conv: str, bn: str):
+    """One fold_bn window -> BNQuantConv params + batch stats."""
+    params = {
+        "kernel": conv_kernel(state[f"{conv}.weight"]),
+        "gamma": jnp.asarray(state[f"{bn}.weight"]),
+        "beta": jnp.asarray(state[f"{bn}.bias"]),
+    }
+    mean = np.asarray(state[f"{bn}.running_mean"])
+    if f"{conv}.bias" in state:
+        # conv bias before BN folds into running_mean (autoquant_utils.py:281-283)
+        mean = mean - np.asarray(state[f"{conv}.bias"])
+    stats = {
+        "mean": jnp.asarray(mean),
+        "var": jnp.asarray(state[f"{bn}.running_var"]),
+    }
+    return params, stats
+
+
+def port_mobilenet_v2(
+    state: Mapping[str, np.ndarray], width_mult: float = 1.0
+) -> Tuple[dict, dict]:
+    """Map the reference FP32 MobileNetV2 state dict (models/mobilenet_v2.py)
+    onto ``QuantizedMobileNetV2``'s variables.
+
+    Returns (params, batch_stats) pytrees.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv_bn(dst: str, conv: str, bn: str):
+        p, s = _conv_bn(state, conv, bn)
+        params[dst] = p
+        stats[dst] = s
+
+    # stem (features.0 = Sequential(conv, bn, relu6))
+    put_conv_bn("features_0", "features.0.0", "features.0.1")
+
+    idx = 1
+    for t, _, n, _ in INVERTED_RESIDUAL_SETTING:
+        for _ in range(n):
+            base = f"features.{idx}.conv"
+            block_p: dict = {}
+            block_s: dict = {}
+            # Sequential indices (mobilenet_v2.py:36-59):
+            #   t == 1: (0 dw-conv, 1 bn, 2 relu6, 3 pw-conv, 4 bn)
+            #   t != 1: (0 pw-conv, 1 bn, 2 relu6, 3 dw-conv, 4 bn, 5 relu6,
+            #            6 pw-conv, 7 bn)
+            windows = [(0, 1), (3, 4)] if t == 1 else [(0, 1), (3, 4), (6, 7)]
+            for j, (ci, bi) in enumerate(windows):
+                p, s = _conv_bn(state, f"{base}.{ci}", f"{base}.{bi}")
+                block_p[f"conv_{j}"] = p
+                block_s[f"conv_{j}"] = s
+            params[f"features_{idx}"] = block_p
+            stats[f"features_{idx}"] = block_s
+            idx += 1
+
+    put_conv_bn(f"features_{idx}", f"features.{idx}.0", f"features.{idx}.1")
+
+    params["classifier_1"] = {
+        "kernel": linear_kernel(state["classifier.1.weight"]),
+        "bias": jnp.asarray(state["classifier.1.bias"]),
+    }
+    return params, stats
+
+
+def merge_ported(variables: dict, params: dict, batch_stats: dict) -> dict:
+    """Overlay ported tensors onto an initialized variables dict."""
+    import flax
+
+    merged_params = flax.core.unfreeze(variables["params"])
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst.setdefault(k, {}), v)
+            else:
+                if k in dst and dst[k].shape != v.shape:
+                    raise ValueError(
+                        f"shape mismatch for {k}: {dst[k].shape} vs {v.shape}"
+                    )
+                dst[k] = v
+
+    overlay(merged_params, params)
+    out = dict(variables)
+    out["params"] = merged_params
+    if batch_stats:
+        merged_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+        overlay(merged_stats, batch_stats)
+        out["batch_stats"] = merged_stats
+    return out

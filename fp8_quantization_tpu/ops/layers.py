@@ -110,6 +110,11 @@ class _QuantOpBase(nn.Module):
     activation: Activation = None
     n_bits_w: Optional[int] = None
     n_bits_act: Optional[int] = None
+    # False disables the output activation quantizer for this layer — the
+    # reference's ``FP32Acts`` substitution (base_quantized_classes.py:209-214,
+    # used by quant_setup variants) and the hoisted-site pattern for tied
+    # pooling quantizers
+    quantize_output: bool = True
 
     def _quant_in(self, sites: _Sites, x, qp: QuantPhase):
         a_bias = None
@@ -148,7 +153,7 @@ class _QuantOpBase(nn.Module):
     def _tail(self, sites: _Sites, res, qp: QuantPhase):
         if self.activation is not None:
             res = self.activation(res)
-        if not self.qc.quantize_input and qp.quant_a:
+        if not self.qc.quantize_input and qp.quant_a and self.quantize_output:
             res = sites.act(res, qp)
         return res
 
@@ -326,7 +331,8 @@ class BNQuantConv(QuantConv):
     bn_epsilon: float = 1e-5  # torch BatchNorm2d default, mirrored by BNQConv
 
     @nn.compact
-    def __call__(self, x, qp: QuantPhase = FIXED, reestimate: bool = False):
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        reestimate = qp.reestimate_bn
         sites = _Sites(self)
         res = self._conv_body(sites, x, qp)
 
@@ -340,11 +346,14 @@ class BNQuantConv(QuantConv):
         )
 
         if reestimate:
+            # momentum=1 train-mode BN: normalize with (biased) batch stats,
+            # store torch-convention unbiased variance in the running buffer
             mean = jnp.mean(res, axis=(0, 1, 2))
             var = jnp.var(res, axis=(0, 1, 2))
+            n = res.shape[0] * res.shape[1] * res.shape[2]
             if self.is_mutable_collection("batch_stats"):
                 running_mean.value = mean
-                running_var.value = var
+                running_var.value = var * (n / max(n - 1, 1))
         else:
             mean, var = running_mean.value, running_var.value
         res = (res - mean) * lax.rsqrt(var + self.bn_epsilon) * gamma + beta

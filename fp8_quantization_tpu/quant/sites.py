@@ -40,6 +40,9 @@ class QuantPhase:
     quant_w: bool = True
     quant_a: bool = True
     grad_scaling: bool = False
+    # BN re-estimation pass: recompute BN running stats from the batch
+    # (utils/qat_utils.py:48-108); averaged over batches by the eval driver
+    reestimate_bn: bool = False
 
     @property
     def estimating(self) -> bool:

@@ -211,6 +211,9 @@ def load_reference_quant_stack():
     apkg = _t.ModuleType("approx")
     apkg.__path__ = []
     stubs["approx"] = apkg
+    mpkg = _t.ModuleType("models")
+    mpkg.__path__ = []
+    stubs["models"] = mpkg
 
     order = [
         ("quantization/quantizers/utils.py", "quantization.quantizers.utils"),
@@ -233,6 +236,10 @@ def load_reference_quant_stack():
         ("quantization/autoquant_utils.py", "quantization.autoquant_utils"),
         ("approx/approx_matmul_whole_v9.py", "approx.approx_matmul_whole_v9"),
         ("approx/approx_calculation.py", "approx.approx_calculation"),
+        ("quantization/base_quantized_model.py",
+         "quantization.base_quantized_model"),
+        ("models/mobilenet_v2.py", "models.mobilenet_v2"),
+        ("models/mobilenet_v2_quantized.py", "models.mobilenet_v2_quantized"),
     ]
 
     saved = {k: sys.modules.get(k) for k in stubs}

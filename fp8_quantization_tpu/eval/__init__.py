@@ -1,0 +1,25 @@
+"""Eval drivers, metrics, and data pipelines."""
+
+from .data import imagenet_val_batches, strided_batches, synthetic_batches
+from .driver import (
+    calibrate,
+    evaluate,
+    reestimate_bn,
+    validate_quantized,
+    write_result_file,
+)
+from .metrics import MetricState, finalize_metrics, update_metrics
+
+__all__ = [
+    "imagenet_val_batches",
+    "strided_batches",
+    "synthetic_batches",
+    "calibrate",
+    "evaluate",
+    "reestimate_bn",
+    "validate_quantized",
+    "write_result_file",
+    "MetricState",
+    "finalize_metrics",
+    "update_metrics",
+]

@@ -1,0 +1,11 @@
+"""Mesh/sharding layer (green-field: the reference is single-device)."""
+
+from .sharding import make_mesh, param_spec, replicate, shard_batch, shard_variables
+
+__all__ = [
+    "make_mesh",
+    "param_spec",
+    "replicate",
+    "shard_batch",
+    "shard_variables",
+]

@@ -1,0 +1,114 @@
+"""Eval driver tests: metrics, demo-model E2E, BN re-estimation, mini-test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8_quantization_tpu.config import (
+    ApproxConfig,
+    EstimatorConfig,
+    FP8Config,
+    QMethod,
+    QuantConfig,
+    RangeMethod,
+    RunMethodConfig,
+)
+from fp8_quantization_tpu.eval import (
+    MetricState,
+    evaluate,
+    finalize_metrics,
+    strided_batches,
+    synthetic_batches,
+    update_metrics,
+    validate_quantized,
+    write_result_file,
+)
+from fp8_quantization_tpu.models.demo import QuantizedDemoModel
+from fp8_quantization_tpu.quant import ESTIMATE
+
+
+def _qc(**kw):
+    return QuantConfig(
+        method=QMethod.fp_quantizer,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+        **kw,
+    )
+
+
+class TestMetrics:
+    def test_accuracy_and_topk(self):
+        logits = jnp.asarray([
+            [5.0, 1.0, 0.0, 0.0, 0.0, 0.0],   # pred 0, label 0: top1 hit
+            [1.0, 5.0, 4.0, 3.0, 2.0, 0.0],   # pred 1, label 5: top5 miss
+            [1.0, 5.0, 4.0, 3.0, 2.0, 1.5],   # pred 1, label 4: top5 hit
+        ])
+        labels = jnp.asarray([0, 5, 4])
+        m = finalize_metrics(update_metrics(MetricState.zero(), logits, labels))
+        assert m["top_1_accuracy"] == pytest.approx(1 / 3)
+        assert m["top_5_accuracy"] == pytest.approx(2 / 3)
+        assert m["loss"] > 0
+
+    def test_merge_equals_single_pass(self, rng):
+        logits = jnp.asarray(rng.normal(size=(8, 10)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 10, size=(8,)))
+        full = update_metrics(MetricState.zero(), logits, labels)
+        a = update_metrics(MetricState.zero(), logits[:3], labels[:3])
+        b = update_metrics(MetricState.zero(), logits[3:], labels[3:])
+        np.testing.assert_allclose(
+            np.asarray(a.merge(b)), np.asarray(full), rtol=1e-6
+        )
+
+
+class TestDemoE2E:
+    def test_validate_quantized_demo(self, rng, tmp_path):
+        model = QuantizedDemoModel(qc=_qc())
+        x0 = jnp.zeros((4, 10), jnp.float32)
+        variables = model.init(jax.random.key(0), x0, ESTIMATE)
+
+        calib = [rng.normal(size=(4, 10)).astype(np.float32) for _ in range(2)]
+        eval_batches = [
+            (rng.normal(size=(4, 10)).astype(np.float32),
+             rng.integers(0, 10, size=(4,)))
+            for _ in range(3)
+        ]
+        metrics, calibrated = validate_quantized(
+            model, variables, calib, eval_batches, num_est_batches=2
+        )
+        assert set(metrics) == {"top_1_accuracy", "top_5_accuracy", "loss"}
+        assert 0 <= metrics["top_1_accuracy"] <= 1
+
+        # evaluation with frozen state is deterministic
+        m2 = evaluate(model, calibrated, eval_batches)
+        assert m2 == metrics
+
+        # quantization off reproduces FP32
+        m_fp32 = evaluate(model, calibrated, eval_batches,
+                          quant_w=False, quant_a=False)
+        assert m_fp32["loss"] != metrics["loss"]
+
+        path = write_result_file(
+            str(tmp_path), "demo_quantized", ApproxConfig(), RunMethodConfig(),
+            metrics,
+        )
+        content = open(path).read()
+        assert "final_metrics" in content and "top_1_accuracy" in content
+        assert "E3M4D3" in path
+
+    def test_mini_test_strided(self):
+        batches = list(range(100))
+        picked = list(strided_batches(batches, num_batches=10, start_index=5,
+                                      step=9))
+        assert picked == [5, 14, 23, 32, 41, 50, 59, 68, 77, 86]
+
+    def test_synthetic_batches_deterministic(self):
+        a = list(synthetic_batches(2, 3, image_size=8, seed=7))
+        b = list(synthetic_batches(2, 3, image_size=8, seed=7))
+        for (xa, ya), (xb, yb) in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)

@@ -103,6 +103,48 @@ def port_mobilenet_v2(
     return params, stats
 
 
+def port_resnet(
+    state: Mapping[str, np.ndarray], depth: int = 18
+) -> Tuple[dict, dict]:
+    """Map a torchvision-layout ResNet FP32 state dict onto
+    ``QuantizedResNet``'s variables (resnet_quantized.py loads torchvision
+    resnet18/50, :136-167)."""
+    from .resnet import RESNET_SPECS
+
+    kind, reps = RESNET_SPECS[depth]
+    n_convs = 2 if kind == "basic" else 3
+
+    params: dict = {}
+    stats: dict = {}
+
+    p, s = _conv_bn(state, "conv1", "bn1")
+    params["conv1"] = p
+    stats["conv1"] = s
+
+    for li, n in enumerate(reps, start=1):
+        for bi in range(n):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in range(1, n_convs + 1):
+                p, s = _conv_bn(state, f"{src}.conv{ci}", f"{src}.bn{ci}")
+                bp[f"conv{ci}"] = p
+                bs[f"conv{ci}"] = s
+            if f"{src}.downsample.0.weight" in state:
+                p, s = _conv_bn(state, f"{src}.downsample.0", f"{src}.downsample.1")
+                bp["downsample_0"] = p
+                bs["downsample_0"] = s
+            params[dst] = bp
+            stats[dst] = bs
+
+    params["fc"] = {
+        "kernel": linear_kernel(state["fc.weight"]),
+        "bias": jnp.asarray(state["fc.bias"]),
+    }
+    return params, stats
+
+
 def merge_ported(variables: dict, params: dict, batch_stats: dict) -> dict:
     """Overlay ported tensors onto an initialized variables dict."""
     import flax

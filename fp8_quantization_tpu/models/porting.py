@@ -145,6 +145,57 @@ def port_resnet(
     return params, stats
 
 
+def port_vit(state: Mapping[str, np.ndarray], num_layers: int = 12
+             ) -> Tuple[dict, dict]:
+    """Map an HF ``ViTForImageClassification`` state dict onto
+    ``QuantizedViT``'s variables (vit_quantized.py:396-402 loads
+    google/vit-base-patch16-224)."""
+
+    def dense(prefix):
+        return {
+            "kernel": linear_kernel(state[f"{prefix}.weight"]),
+            "bias": jnp.asarray(state[f"{prefix}.bias"]),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(state[f"{prefix}.weight"]),
+            "bias": jnp.asarray(state[f"{prefix}.bias"]),
+        }
+
+    params: dict = {
+        "cls_token": jnp.asarray(state["vit.embeddings.cls_token"]),
+        "position_embeddings": jnp.asarray(
+            state["vit.embeddings.position_embeddings"]
+        ),
+        "patch_projection": {
+            "kernel": conv_kernel(
+                state["vit.embeddings.patch_embeddings.projection.weight"]
+            ),
+            "bias": jnp.asarray(
+                state["vit.embeddings.patch_embeddings.projection.bias"]
+            ),
+        },
+        "layernorm": ln("vit.layernorm"),
+        "classifier": dense("classifier"),
+    }
+    for i in range(num_layers):
+        src = f"vit.encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "layernorm_before": ln(f"{src}.layernorm_before"),
+            "layernorm_after": ln(f"{src}.layernorm_after"),
+            "attention": {
+                "query": dense(f"{src}.attention.attention.query"),
+                "key": dense(f"{src}.attention.attention.key"),
+                "value": dense(f"{src}.attention.attention.value"),
+            },
+            "attention_output": dense(f"{src}.attention.output.dense"),
+            "intermediate": dense(f"{src}.intermediate.dense"),
+            "output": dense(f"{src}.output.dense"),
+        }
+    return params, {}
+
+
 def merge_ported(variables: dict, params: dict, batch_stats: dict) -> dict:
     """Overlay ported tensors onto an initialized variables dict."""
     import flax

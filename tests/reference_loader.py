@@ -215,6 +215,14 @@ def load_reference_quant_stack():
     mpkg.__path__ = []
     stubs["models"] = mpkg
 
+    # torchvision isn't installed; the reference vit module imports one name
+    tv = _t.ModuleType("torchvision")
+    tvm = _t.ModuleType("torchvision.models")
+    tvm.vit_b_16 = None
+    tv.models = tvm
+    stubs["torchvision"] = tv
+    stubs["torchvision.models"] = tvm
+
     order = [
         ("quantization/quantizers/utils.py", "quantization.quantizers.utils"),
         ("quantization/quantizers/base_quantizers.py",
@@ -240,6 +248,7 @@ def load_reference_quant_stack():
          "quantization.base_quantized_model"),
         ("models/mobilenet_v2.py", "models.mobilenet_v2"),
         ("models/mobilenet_v2_quantized.py", "models.mobilenet_v2_quantized"),
+        ("models/vit_quantized.py", "models.vit_quantized"),
     ]
 
     saved = {k: sys.modules.get(k) for k in stubs}
@@ -260,6 +269,24 @@ def load_reference_quant_stack():
             parent_name, _, leaf = name.rpartition(".")
             setattr(sys.modules[parent_name], leaf, mod)
             setattr(ns, leaf, mod)
+            if name == "models.vit_quantized":
+                # newer transformers dropped the ViTSdpa* aliases the
+                # reference names inside __init__ bodies (resolved at call
+                # time) — alias them to the current classes; also re-expose
+                # classes that `import *` no longer covers
+                import transformers.models.vit.modeling_vit as _mv
+
+                for cls_name in (
+                    "ViTSelfAttention", "ViTAttention", "ViTSelfOutput",
+                    "ViTIntermediate", "ViTOutput", "ViTLayer", "ViTEncoder",
+                    "ViTEmbeddings", "ViTPatchEmbeddings", "ViTModel",
+                ):
+                    if not hasattr(mod, cls_name):
+                        setattr(mod, cls_name, getattr(_mv, cls_name))
+                if not hasattr(mod, "ViTSdpaSelfAttention"):
+                    mod.ViTSdpaSelfAttention = _mv.ViTSelfAttention
+                if not hasattr(mod, "ViTSdpaAttention"):
+                    mod.ViTSdpaAttention = _mv.ViTAttention
             if name == "quantization.quantizers.uniform_quantizers":
                 # emulate quantization/quantizers/__init__.py exports
                 qzpkg.QuantizerBase = stubs[

@@ -196,6 +196,54 @@ def port_vit(state: Mapping[str, np.ndarray], num_layers: int = 12
     return params, {}
 
 
+def port_bert(state: Mapping[str, np.ndarray], num_layers: int = 12
+              ) -> Tuple[dict, dict]:
+    """Map an HF ``BertForSequenceClassification`` state dict onto
+    ``QuantizedBert``'s variables."""
+
+    def dense(prefix):
+        return {
+            "kernel": linear_kernel(state[f"{prefix}.weight"]),
+            "bias": jnp.asarray(state[f"{prefix}.bias"]),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(state[f"{prefix}.weight"]),
+            "bias": jnp.asarray(state[f"{prefix}.bias"]),
+        }
+
+    params: dict = {
+        "word_embeddings": jnp.asarray(
+            state["bert.embeddings.word_embeddings.weight"]
+        ),
+        "position_embeddings": jnp.asarray(
+            state["bert.embeddings.position_embeddings.weight"]
+        ),
+        "token_type_embeddings": jnp.asarray(
+            state["bert.embeddings.token_type_embeddings.weight"]
+        ),
+        "embeddings_layernorm": ln("bert.embeddings.LayerNorm"),
+        "pooler": dense("bert.pooler.dense"),
+        "classifier": dense("classifier"),
+    }
+    for i in range(num_layers):
+        src = f"bert.encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{src}.attention.self.query"),
+                "key": dense(f"{src}.attention.self.key"),
+                "value": dense(f"{src}.attention.self.value"),
+            },
+            "attention_output": dense(f"{src}.attention.output.dense"),
+            "attention_layernorm": ln(f"{src}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{src}.intermediate.dense"),
+            "output": dense(f"{src}.output.dense"),
+            "output_layernorm": ln(f"{src}.output.LayerNorm"),
+        }
+    return params, {}
+
+
 def merge_ported(variables: dict, params: dict, batch_stats: dict) -> dict:
     """Overlay ported tensors onto an initialized variables dict."""
     import flax

@@ -91,7 +91,7 @@ def _kernel(
                 out, rmax_ref[0, 0], rbias_ref[0, 0], rmant_ref[0, 0],
                 rsign_ref[0, 0],
             )
-        o_ref[:] = out
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _pad_to(x, mult, axis):
@@ -105,7 +105,8 @@ def _pad_to(x, mult, axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("quantize_x", "requantize_out", "bm", "bn", "bk"),
+    static_argnames=("quantize_x", "requantize_out", "out_dtype",
+                     "bm", "bn", "bk"),
 )
 def fused_quant_matmul(
     x,
@@ -115,6 +116,7 @@ def fused_quant_matmul(
     *,
     quantize_x: bool = True,
     requantize_out: bool = False,
+    out_dtype=jnp.float32,
     bm: int = 256,
     bn: int = 256,
     bk: int = 512,
@@ -122,19 +124,28 @@ def fused_quant_matmul(
     """``requant(quantize(x) @ w_q)`` as one fused TPU kernel.
 
     Args:
-      x: (M, K) float32 activations (unquantized).
+      x: (M, K) activations — float32 unquantized (with ``quantize_x``), or
+        already-quantized bfloat16 (``quantize_x=False``, the steady-state
+        chained-layer mode where the *previous* layer's requant epilogue did
+        the input quantization).
       w_q: (K, N) weights, already on their ExMy grid, as bfloat16 (exact).
       act_params: (maxval, bias, mant_bits, sign_bits) scalars for the
         activation quantizer; required when ``quantize_x``.
       res_params: same for the result requantizer (``res_quantizer``).
+      out_dtype: float32, or bfloat16 to emit requantized outputs ready to be
+        consumed by the next quantized matmul (exact for mant_width <= 7).
 
     Returns:
-      (M, N) float32.
+      (M, N) in ``out_dtype``.
     """
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2, (x.shape, w_q.shape)
     assert w_q.dtype == jnp.bfloat16, "pre-quantized weights must be bf16"
+    if not quantize_x:
+        pass  # x may be bf16 (chained mode) or f32
+    else:
+        assert x.dtype == jnp.float32, x.dtype
 
     def scalars(params, like=0.0):
         if params is None:
@@ -180,7 +191,7 @@ def fused_quant_matmul(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

@@ -1,0 +1,175 @@
+"""QAT: range learning, parameter partitioning, optimizers, train step.
+
+Functional counterpart of the reference's (side) training path:
+
+* ``partition_variables`` ~ ``separate_quantized_model_params``
+  (quantization/utils.py:15-71): split trainables into quantizer-range
+  params (maxval / mantissa_bits / delta / zero_float) and model weights so
+  each group can get its own optimizer (--sep-quant-optimizer,
+  click_options.py:197-202).
+* ``make_optimizer`` ~ ``utils/optimizer_utils.py:8-39`` (SGD/Adam +
+  MultiStepLR / cosine schedules) on optax.
+* ``qat_train_step`` ~ the ignite trainer step (utils/supervised_driver.py:
+  11-60) with ``learn_ranges`` semantics: the ``quant`` collection is
+  differentiable (STE custom-vjps flow gradients into maxval/mantissa_bits)
+  and LSQ gradient scaling is a phase flag.
+
+The reference's oscillation dampening/freezing flags (click_options.py:
+216-317) are CLI-only there — no implementation exists in the reference to
+mirror.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .sites import QuantPhase
+
+RANGE_PARAM_NAMES = ("maxval", "mantissa_bits", "delta", "zero_float")
+
+
+def partition_variables(variables: dict) -> Tuple[dict, dict, dict]:
+    """Split a variables dict into (model_params, quant_params, rest).
+
+    model_params: the ``params`` collection. quant_params: the trainable
+    leaves of the ``quant`` collection. rest: everything else (estimator
+    state, batch stats, integer flags) — not optimized.
+    """
+    model_params = variables.get("params", {})
+    quant = variables.get("quant", {})
+
+    def split(tree):
+        train, frozen = {}, {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                t, f = split(v)
+                if t:
+                    train[k] = t
+                if f:
+                    frozen[k] = f
+            elif k in RANGE_PARAM_NAMES:
+                train[k] = v
+            else:
+                frozen[k] = v
+        return train, frozen
+
+    quant_train, quant_frozen = split(quant)
+    rest = {k: v for k, v in variables.items() if k not in ("params", "quant")}
+    rest["_quant_frozen"] = quant_frozen
+    return model_params, quant_train, rest
+
+
+def merge_variables(model_params: dict, quant_train: dict, rest: dict) -> dict:
+    """Inverse of ``partition_variables``."""
+    quant_frozen = rest.get("_quant_frozen", {})
+
+    def merge(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            if k in out and isinstance(out[k], dict):
+                out[k] = merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    variables = {k: v for k, v in rest.items() if k != "_quant_frozen"}
+    variables["params"] = model_params
+    variables["quant"] = merge(quant_frozen, quant_train)
+    return variables
+
+
+def make_schedule(base_lr: float, schedule: Optional[str], total_steps: int):
+    """'MultiStepLR:10:20:40' or 'cosine:1e-4' (optimizer_utils.py:24-39);
+    milestones are epochs-as-fractions of total_steps when < total_steps."""
+    if not schedule:
+        return base_lr
+    kind, *rest = schedule.split(":")
+    if kind == "MultiStepLR":
+        milestones = [int(m) for m in rest]
+        return optax.piecewise_constant_schedule(
+            base_lr, {m: 0.1 for m in milestones}
+        )
+    if kind == "cosine":
+        final = float(rest[0]) if rest else 0.0
+        return optax.cosine_decay_schedule(
+            base_lr, total_steps, alpha=final / base_lr if base_lr else 0.0
+        )
+    raise ValueError(f"unknown schedule {schedule}")
+
+
+def make_optimizer(
+    name: str = "SGD",
+    learning_rate: float = 0.01,
+    momentum: float = 0.9,
+    weight_decay: Optional[float] = None,
+    schedule: Optional[str] = None,
+    total_steps: int = 10_000,
+) -> optax.GradientTransformation:
+    """SGD/Adam factory (optimizer_utils.py:8-23)."""
+    lr = make_schedule(learning_rate, schedule, total_steps)
+    if name.upper() == "SGD":
+        opt = optax.sgd(lr, momentum=momentum)
+    elif name.upper() == "ADAM":
+        opt = optax.adam(lr)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    if weight_decay:
+        opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
+    return opt
+
+
+def make_qat_step(
+    model,
+    model_opt: optax.GradientTransformation,
+    quant_opt: Optional[optax.GradientTransformation] = None,
+    *,
+    grad_scaling: bool = False,
+    model_kwargs: Optional[dict] = None,
+):
+    """Build a jitted QAT train step over (model_params, quant_params).
+
+    Uses ``QuantPhase(phase="fixed", grad_scaling=...)`` — ranges are frozen
+    values that receive gradients (the learn_ranges state,
+    quantization_manager.py:100-103), not estimator updates.
+    """
+    quant_opt = quant_opt or model_opt
+    qp = QuantPhase(phase="fixed", grad_scaling=grad_scaling)
+    model_kwargs = model_kwargs or {}
+
+    def loss_fn(model_params, quant_train, rest, x, y):
+        variables = merge_variables(model_params, quant_train, rest)
+        logits = model.apply(variables, x, qp, **model_kwargs)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+        return loss, logits
+
+    @jax.jit
+    def step(state, x, y):
+        (model_params, quant_train, rest, m_opt_state, q_opt_state) = state
+        (loss, _), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                              has_aux=True)(
+            model_params, quant_train, rest, x, y
+        )
+        g_model, g_quant = grads
+        upd_m, m_opt_state = model_opt.update(g_model, m_opt_state, model_params)
+        model_params = optax.apply_updates(model_params, upd_m)
+        upd_q, q_opt_state = quant_opt.update(g_quant, q_opt_state, quant_train)
+        quant_train = optax.apply_updates(quant_train, upd_q)
+        return (model_params, quant_train, rest, m_opt_state, q_opt_state), loss
+
+    def init_state(variables: dict):
+        model_params, quant_train, rest = partition_variables(variables)
+        return (
+            model_params,
+            quant_train,
+            rest,
+            model_opt.init(model_params),
+            quant_opt.init(quant_train),
+        )
+
+    return step, init_state

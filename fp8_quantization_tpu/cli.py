@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
         _add_bool_flag(p, "pretrained", True)
         _add_bool_flag(p, "progress-bar", False)
         p.add_argument("--save-checkpoint-dir", type=str, default=None)
+        # accepted for reference-script compatibility; device selection is
+        # jax-level and load_type is inferred from the checkpoint format
+        _add_bool_flag(p, "cuda", True)
+        p.add_argument("--load-type", type=str, default="fp32",
+                       choices=["fp32", "quantized"])
 
         # quantization_options (click_options.py:320-447)
         _add_bool_flag(p, "weight-quant", True)

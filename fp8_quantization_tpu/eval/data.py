@@ -44,6 +44,64 @@ def preprocess_val(img, image_size: int = 224) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def preprocess_train(img, image_size: int = 224, rng=None) -> np.ndarray:
+    """RandomResizedCrop(scale 0.08-1.0, ratio 3/4-4/3) + horizontal flip —
+    the reference train transform (imagenet_dataloaders.py:49-57) used for
+    range-estimation batches."""
+    from PIL import Image
+
+    rng = rng or np.random.default_rng()
+    img = img.convert("RGB")
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target_area = area * rng.uniform(0.08, 1.0)
+        aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = int(rng.integers(0, w - cw + 1))
+            top = int(rng.integers(0, h - ch + 1))
+            img2 = img.crop((left, top, left + cw, top + ch))
+            break
+    else:
+        img2 = img  # fallback: center-ish full image
+    img2 = img2.resize((image_size, image_size), Image.BILINEAR)
+    arr = np.asarray(img2, np.float32) / 255.0
+    if rng.uniform() < 0.5:
+        arr = arr[:, ::-1, :]
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def imagenet_train_batches(
+    images_dir: str,
+    batch_size: int,
+    image_size: int = 224,
+    max_batches: Optional[int] = None,
+    seed: int = 10,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield shuffled train batches from ``<images_dir>/train`` (used for
+    calibration; quantization/utils.py:74-115 feeds train batches)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    samples = _list_val_samples(os.path.join(images_dir, "train"))
+    order = rng.permutation(len(samples))
+    batch_x, batch_y = [], []
+    produced = 0
+    for idx in order:
+        path, label = samples[idx]
+        with Image.open(path) as img:
+            batch_x.append(preprocess_train(img, image_size, rng))
+        batch_y.append(label)
+        if len(batch_x) == batch_size:
+            yield np.stack(batch_x), np.asarray(batch_y, np.int32)
+            produced += 1
+            batch_x, batch_y = [], []
+            if max_batches is not None and produced >= max_batches:
+                return
+
+
 def _list_val_samples(val_dir: str) -> List[Tuple[str, int]]:
     """(path, label) pairs; integer-named class dirs remap directly to their
     index (imagenet_dataloaders.py:110-130), otherwise sorted-name order."""

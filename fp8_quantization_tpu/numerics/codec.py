@@ -133,6 +133,59 @@ def quantize_exmy(arr, expo_width: int, mant_width: int, bias, *, clip_of: bool 
     return compose(expo, mant, mant_width, bias, sign=sign)
 
 
+def decompose_allnorm(values, mant_width: int, bias, *,
+                      expo_width: int | None = None, clip_of: bool = False):
+    """All-normal ExMy variant: no subnormals; zero iff expo == mant == 0
+    (`/root/reference/approx/fp_any_int_v5.py:60-117`).
+
+    Every value encodes as ``(-1)^s 2^(e-bias) (1 + m/2^M)``; magnitudes below
+    ``min_value = 2^-bias (1 + 2^-M)`` collapse to the zero code.
+    """
+    values = jnp.asarray(values, dtype=jnp.float32)
+    bias_i = _as_int32(bias)
+    max_mant = (1 << mant_width) - 1
+
+    mant, expo = jnp.frexp(values)
+    min_value = jnp.ldexp(
+        jnp.full(jnp.shape(bias_i), 1.0 + 2.0 ** (-mant_width), jnp.float32),
+        -bias_i,
+    )
+    zero = (values > -min_value) & (values < min_value)
+
+    mant_int = jnp.where(
+        zero,
+        0.0,
+        jnp.ldexp(jnp.abs(mant) * 2.0 - 1.0, jnp.full_like(expo, mant_width)),
+    )
+    mant_int = jnp.minimum(jnp.round(mant_int), max_mant).astype(jnp.int32)
+    expo_int = jnp.where(zero, 0, expo + (bias_i - 1)).astype(jnp.int32)
+
+    if clip_of:
+        assert expo_width is not None, "clip_of requires expo_width"
+        max_expo = (1 << expo_width) - 1
+        max_value = jnp.ldexp(
+            jnp.full(jnp.shape(bias_i), 2.0 - 2.0 ** (-mant_width), jnp.float32),
+            max_expo - bias_i,
+        )
+        overflow = (values < -max_value) | (values > max_value)
+        expo_int = jnp.where(overflow, max_expo, expo_int)
+        mant_int = jnp.where(overflow, max_mant, mant_int)
+    return expo_int, mant_int
+
+
+def compose_allnorm(expo, mant, mant_width: int, bias, sign=None):
+    """Inverse of ``decompose_allnorm`` (fp_any_int_v5.py:123-162)."""
+    expo = _as_int32(expo)
+    mant = _as_int32(mant)
+    bias_i = _as_int32(bias)
+    frac = mant.astype(jnp.float32) / float(1 << mant_width)
+    zero = (expo == 0) & (mant == 0)
+    values = jnp.where(zero, 0.0, jnp.ldexp(1.0 + frac, expo - bias_i))
+    if sign is not None:
+        values = values * jnp.asarray(sign, dtype=jnp.float32)
+    return values
+
+
 def value_space(expo_width: int, mant_width: int, bias):
     """All 2^(E+M) non-negative code values of the format (v9.py:366-387)."""
     codes = jnp.arange(1 << (expo_width + mant_width), dtype=jnp.int32)

@@ -81,3 +81,25 @@ def replicate(x, mesh: Mesh):
     return jax.tree.map(
         lambda v: jax.device_put(v, NamedSharding(mesh, P())), x
     )
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Multi-host launch (SURVEY.md §2.8): ``jax.distributed.initialize``
+    wires the hosts of a pod slice together; afterwards ``jax.devices()``
+    spans all hosts and the same jitted SPMD programs (with mesh shardings)
+    run collectives over ICI/DCN. Returns the process index. No-op when
+    single-process (the common dev case)."""
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # single-process / unsupported environment
+            return 0
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()

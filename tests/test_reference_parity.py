@@ -140,6 +140,38 @@ def test_error_table_selector_parity(ref_v9):
 
 
 @pytest.fixture(scope="module")
+def ref_v5():
+    return load_reference_module("approx/fp_any_int_v5.py", "_ref_v5")
+
+
+@pytest.mark.parametrize("ew,mw,bias", [(4, 3, 7), (3, 4, 3)])
+def test_allnorm_codec_parity(ref_v5, ew, mw, bias, rng):
+    from fp8_quantization_tpu.numerics.codec import compose_allnorm, decompose_allnorm
+
+    pd = ref_v5.param_prepare(ew, mw, custom_bias=bias)
+    x = np.concatenate(
+        [
+            (rng.normal(size=1021) * pd["max_value"]).astype(np.float32),
+            np.array([0.0, pd["min_value"], -pd["min_value"],
+                      pd["min_value"] * 0.49, pd["max_value"] * 2], np.float32),
+        ]
+    )
+    for clip in (False, True):
+        re_, rm = ref_v5.float_to_fpany_absint_torch_allnorm(
+            pd, torch.from_numpy(x), clip_OF=clip
+        )
+        oe, om = decompose_allnorm(x, mw, bias, expo_width=ew, clip_of=clip)
+        np.testing.assert_array_equal(np.asarray(oe), re_.numpy())
+        np.testing.assert_array_equal(np.asarray(om), rm.numpy())
+
+    ref_dec = ref_v5.fpany_absint_to_float_torch_allnorm(
+        pd, sign=None, expo=re_, mant=rm
+    ).numpy()
+    ours_dec = np.asarray(compose_allnorm(oe, om, mw, bias))
+    np.testing.assert_array_equal(ours_dec, ref_dec)
+
+
+@pytest.fixture(scope="module")
 def ref_re():
     from tests.reference_loader import load_reference_range_estimators
 

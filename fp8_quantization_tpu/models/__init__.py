@@ -3,12 +3,30 @@
 ~ reference ``models/__init__.py`` QuantArchitectures registry.
 """
 
+from .bert import BERT_BASE, BertSpec, QuantizedBert
 from .demo import QuantizedDemoModel
 from .mobilenet_v2 import QuantizedMobileNetV2
+from .resnet import QuantizedResNet
+from .vit import VIT_B_16, QuantizedViT, ViTSpec
 
 ARCHITECTURES = {
     "mobilenet_v2_quantized": QuantizedMobileNetV2,
+    "resnet18_quantized": lambda **kw: QuantizedResNet(depth=18, **kw),
+    "resnet50_quantized": lambda **kw: QuantizedResNet(depth=50, **kw),
+    "vit_quantized": QuantizedViT,
+    "bert_quantized": QuantizedBert,
     "demo_quantized": QuantizedDemoModel,
 }
 
-__all__ = ["QuantizedMobileNetV2", "QuantizedDemoModel", "ARCHITECTURES"]
+__all__ = [
+    "QuantizedMobileNetV2",
+    "QuantizedResNet",
+    "QuantizedViT",
+    "QuantizedBert",
+    "QuantizedDemoModel",
+    "ViTSpec",
+    "VIT_B_16",
+    "BertSpec",
+    "BERT_BASE",
+    "ARCHITECTURES",
+]

@@ -43,7 +43,13 @@ from ...numerics.luts import get_error_table
 
 
 def _pow2(e_int):
-    """Exact 2^e for int32 e in [-126, 127], elementwise, via bitcast."""
+    """Exact 2^e for int32 e in [-126, 127], elementwise, via bitcast.
+
+    Mosaic's tpu.bitcast only takes vectors — promote scalars to (1, 1).
+    """
+    e_int = jnp.asarray(e_int)
+    if e_int.ndim == 0:
+        e_int = e_int.reshape(1, 1)
     return lax.bitcast_convert_type(
         jnp.left_shift(jnp.clip(e_int + 127, 1, 254), 23), jnp.float32
     )
@@ -131,59 +137,78 @@ def _approx_kernel(
         # scale subnormal operands up before extraction (v9.py:52-54)
         min_norm_a = _pow2(one_i - bias_a)
         min_norm_b = _pow2(1 - bias_b)                      # (1, bn)
-        a_sub = jnp.abs(a_blk) < min_norm_a
-        b_sub = jnp.abs(b_blk) < min_norm_b
-        a_eff = jnp.where(a_sub, a_blk * mant_scale, a_blk)
-        b_eff = jnp.where(b_sub, b_blk * mant_scale, b_blk)
+        a_sub = (jnp.abs(a_blk) < min_norm_a).astype(jnp.float32)
+        b_sub = (jnp.abs(b_blk) < min_norm_b).astype(jnp.float32)
+        a_eff = jnp.where(a_sub > 0, a_blk * mant_scale, a_blk)
+        b_eff = jnp.where(b_sub > 0, b_blk * mant_scale, b_blk)
     else:
         a_sub = b_sub = None
         a_eff, b_eff = a_blk, b_blk
 
+    # decompose the whole tile once at full VPU width; fields kept as f32 so
+    # the K loop can select columns/rows with one-hot MXU matmuls (Mosaic has
+    # no unaligned lane-dim dynamic slicing — the systolic array IS the
+    # gather engine here)
     ae, am, af = exmy_decompose_block(a_eff, bias_a, mant_width)
     be, bmant, bf = exmy_decompose_block(b_eff, bias_b, mant_width)
+    ae_f, am_f = ae.astype(jnp.float32), am.astype(jnp.float32)
+    be_f, bm_f = be.astype(jnp.float32), bmant.astype(jnp.float32)
 
     lut = lut_ref[:]                                        # (2^M, 2^M) f32
     nm = 1 << mant_width
 
-    b_neg = -(bias_a + bias_b - bias_r)                     # (1, bn) int32
+    b_neg_f = (-(bias_a + bias_b - bias_r)).astype(jnp.float32)  # (1, bn)
+    bias_r_f = bias_r.astype(jnp.float32)
+
+    iota_col = lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+    iota_row = lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+    iota_nm_r = lax.broadcasted_iota(jnp.int32, (1, nm), 1).astype(jnp.float32)
+    iota_nm_c = lax.broadcasted_iota(jnp.int32, (nm, 1), 0).astype(jnp.float32)
+
+    def sel_col(mat, e_c):
+        return jnp.dot(mat, e_c, preferred_element_type=jnp.float32)
+
+    def sel_row(e_r, mat):
+        return jnp.dot(e_r, mat, preferred_element_type=jnp.float32)
 
     def body(kk, _):
-        a_col = lax.dynamic_slice_in_dim(a_blk, kk, 1, axis=1)      # (bm,1)
-        b_row = lax.dynamic_slice_in_dim(b_blk, kk, 1, axis=0)      # (1,bn)
-        golden = a_col * b_row                                      # (bm,bn)
+        e_c = (iota_col == kk).astype(jnp.float32)          # (bk, 1)
+        e_r = (iota_row == kk).astype(jnp.float32)          # (1, bk)
+
+        a_col = sel_col(a_blk, e_c)                         # (bm, 1)
+        b_row = sel_row(e_r, b_blk)                         # (1, bn)
+        golden = a_col * b_row                              # (bm, bn)
         if quant_btw:
             golden = exmy_requant_block(golden, bias_r, mant_width,
                                         expo_width, clip_of)
         sign = jnp.where(golden < 0, -1.0, 1.0)
 
-        ae_c = lax.dynamic_slice_in_dim(ae, kk, 1, axis=1)          # (bm,1)
-        be_r = lax.dynamic_slice_in_dim(be, kk, 1, axis=0)          # (1,bn)
-        af_c = lax.dynamic_slice_in_dim(af, kk, 1, axis=1)
-        bf_r = lax.dynamic_slice_in_dim(bf, kk, 1, axis=0)
+        ae_c = sel_col(ae_f, e_c)
+        af_c = sel_col(af, e_c)
+        be_r = sel_row(e_r, be_f)
+        bf_r = sel_row(e_r, bf)
 
         if with_approx:
-            am_c = lax.dynamic_slice_in_dim(am, kk, 1, axis=1)      # (bm,1)
-            bm_r = lax.dynamic_slice_in_dim(bmant, kk, 1, axis=0)   # (1,bn)
+            am_c = sel_col(am_f, e_c)                       # (bm, 1)
+            bm_r = sel_row(e_r, bm_f)                       # (1, bn)
             # LUT gather as two small MXU matmuls:
             # comp = onehot(am) @ LUT @ onehot(bm)^T
-            iota_r = lax.broadcasted_iota(jnp.int32, (1, nm), 1)
-            iota_c = lax.broadcasted_iota(jnp.int32, (nm, 1), 0)
-            oh_a = (am_c == iota_r).astype(jnp.float32)             # (bm,nm)
-            oh_bt = (iota_c == bm_r).astype(jnp.float32)            # (nm,bn)
+            oh_a = (am_c == iota_nm_r).astype(jnp.float32)  # (bm, nm)
+            oh_bt = (iota_nm_c == bm_r).astype(jnp.float32)  # (nm, bn)
             lut_b = jnp.dot(lut, oh_bt, preferred_element_type=jnp.float32)
             comp = jnp.dot(oh_a, lut_b, preferred_element_type=jnp.float32)
             mant_prod = af_c * bf_r - s * comp
         else:
             mant_prod = af_c * bf_r
 
-        expo = ae_c + be_r + b_neg - bias_r                         # (bm,bn)
-        approx = mant_prod * sign * _pow2(expo)
+        expo_f = ae_c + be_r + b_neg_f - bias_r_f           # (bm, bn) f32
+        approx = mant_prod * sign * _pow2(expo_f.astype(jnp.int32))
 
         if s2nn2s:
-            a_sub_c = lax.dynamic_slice_in_dim(a_sub, kk, 1, axis=1)
-            b_sub_r = lax.dynamic_slice_in_dim(b_sub, kk, 1, axis=0)
-            approx = jnp.where(a_sub_c, approx * s, approx)
-            approx = jnp.where(b_sub_r, approx * s, approx)
+            a_sub_c = sel_col(a_sub, e_c)
+            b_sub_r = sel_row(e_r, b_sub)
+            approx = jnp.where(a_sub_c > 0, approx * s, approx)
+            approx = jnp.where(b_sub_r > 0, approx * s, approx)
             out = jnp.where(golden == 0.0, 0.0, approx)
         else:
             norm = (ae_c > 0) & (be_r > 0) & (jnp.abs(golden) >= min_norm_r)

@@ -46,13 +46,42 @@ def default_fp_bias(approx: ApproxConfig):
     return jnp.asarray([float(2 ** (approx.expo_width - 1))], jnp.float32)
 
 
-def approx_matmul_2d(x2d, w2d, bias_a, bias_b, bias_r, approx: ApproxConfig):
+def approx_matmul_2d(x2d, w2d, bias_a, bias_b, bias_r, approx: ApproxConfig,
+                     allow_pallas: bool = True):
     """(M, K) @ (K, N) through the approximate-multiplier simulation.
 
     ``bias_b`` is the per-output-channel weight bias vector — one vectorized
     call replaces the reference's per-channel python loop
     (approx_calculation.py:613-638).
+
+    Dispatches to the fused Pallas kernel (no (M,K,N) materialization,
+    ~400x faster on TPU) whenever the flag combination supports it; the
+    OF/UF adder simulation and debug modes fall back to the jnp oracle.
     """
+    pallas_ok = (
+        allow_pallas
+        and not approx.sim_hw_add_ofuf
+        and not approx.debug_mode
+        and not approx.self_check_mode
+    )
+    if pallas_ok:
+        from .pallas.approx_matmul import approx_matmul_pallas
+
+        return approx_matmul_pallas(
+            jnp.asarray(x2d, jnp.float32),
+            jnp.asarray(w2d, jnp.float32),
+            jnp.asarray(bias_a, jnp.int32).reshape(()),
+            jnp.asarray(bias_b, jnp.int32).reshape(-1),
+            jnp.asarray(bias_r, jnp.int32).reshape(()),
+            expo_width=approx.expo_width,
+            mant_width=approx.mant_width,
+            with_comp=approx.with_comp,
+            dnsmp_factor=approx.dnsmp_factor,
+            with_approx=approx.with_approx,
+            with_s2nn2s_opt=approx.with_s2nn2s_opt,
+            quant_btw_mult_accu=approx.quant_btw_mult_accu,
+            golden_clip_of=approx.golden_clip_of,
+        )
     table = get_error_table(
         approx.expo_width, approx.mant_width, approx.with_comp, approx.dnsmp_factor
     )
@@ -304,10 +333,18 @@ class QuantConv(_QuantOpBase):
                 if w_bias is None:
                     raise ValueError("approx path requires quantized weights")
 
-                def one_group(p2d, w2d, wb):
-                    return approx_matmul_2d(p2d, w2d, a_b[0], wb, r_b[0], approx)
+                if g == 1:
+                    out_g = approx_matmul_2d(
+                        pg[0], wg[0], a_b[0], wb_g[0], r_b[0], approx
+                    )[None]
+                else:
+                    # grouped/depthwise: vmapped oracle (pallas_call does not
+                    # vmap; per-group matmuls are tiny anyway)
+                    def one_group(p2d, w2d, wb):
+                        return approx_matmul_2d(p2d, w2d, a_b[0], wb, r_b[0],
+                                                approx, allow_pallas=False)
 
-                out_g = jax.vmap(one_group)(pg, wg, wb_g)
+                    out_g = jax.vmap(one_group)(pg, wg, wb_g)
 
             out = jnp.moveaxis(out_g, 0, 1).reshape(m, self.features)
             res = out.reshape(b_sp, oh, ow, self.features)

@@ -257,9 +257,9 @@ def approx_matmul_pallas(
     with_s2nn2s_opt: bool = False,
     quant_btw_mult_accu: bool = True,
     golden_clip_of: bool = False,
-    bm: int = 256,
-    bn: int = 256,
-    bk: int = 256,
+    bm: Optional[int] = None,
+    bn: Optional[int] = None,
+    bk: Optional[int] = None,
 ):
     """Approx matmul ``a @ b`` with v9 float-domain simulation semantics.
 
@@ -268,12 +268,24 @@ def approx_matmul_pallas(
       b: (K, N) float32 on the ExMy(bias_b[n]) grids.
       bias_a / bias_r: scalar int exponent biases.
       bias_b: scalar or (N,) per-output-channel weight bias.
+      bm/bn/bk: tile sizes; default adapts to the problem (<= 256, respecting
+        the (8, 128) f32 tiling grain).
 
     Returns (M, N) float32.
     """
     m, k = a.shape
     k2, n = b.shape
     assert k == k2
+
+    def _ru(v, g):
+        return -(-v // g) * g
+
+    if bm is None:
+        bm = min(256, _ru(m, 8))
+    if bn is None:
+        bn = min(256, _ru(n, 128))
+    if bk is None:
+        bk = min(256, _ru(k, 8))
 
     bias_a = jnp.asarray(bias_a, jnp.int32).reshape(1, 1)
     bias_r = jnp.asarray(bias_r, jnp.int32).reshape(1, 1)

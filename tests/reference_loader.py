@@ -167,13 +167,20 @@ def _make_timm_stubs():
     models.layers = layers
     layers.activations = acts
     layers.activations_me = acts_me
-    return {
+    stubs = {
         "timm": timm,
         "timm.models": models,
         "timm.models.layers": layers,
         "timm.models.layers.activations": acts,
         "timm.models.layers.activations_me": acts_me,
     }
+    # transformers probes importlib.util.find_spec("timm"); a spec-less stub
+    # raises "timm.__spec__ is None"
+    import importlib.machinery
+
+    for name, mod in stubs.items():
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return stubs
 
 
 _QUANT_STACK_CACHE = None
@@ -216,10 +223,14 @@ def load_reference_quant_stack():
     stubs["models"] = mpkg
 
     # torchvision isn't installed; the reference vit module imports one name
+    import importlib.machinery as _im
+
     tv = _t.ModuleType("torchvision")
     tvm = _t.ModuleType("torchvision.models")
     tvm.vit_b_16 = None
     tv.models = tvm
+    tv.__spec__ = _im.ModuleSpec("torchvision", loader=None)
+    tvm.__spec__ = _im.ModuleSpec("torchvision.models", loader=None)
     stubs["torchvision"] = tv
     stubs["torchvision.models"] = tvm
 

@@ -186,6 +186,20 @@ class _QuantOpBase(nn.Module):
             res = sites.act(res, qp)
         return res
 
+    def _fast_mxu(self, qp: QuantPhase) -> bool:
+        """bf16 MXU execution is exact when both operands are FP8-quantized
+        (mant_width <= 7 grid values are exact in bfloat16)."""
+        from ..config import QMethod
+
+        return (
+            qp.fast
+            and self.qc.method == QMethod.fp_quantizer
+            and (self.qc.act_method or self.qc.method) == QMethod.fp_quantizer
+            and qp.quant_w
+            and qp.quant_a
+            and self.qc.quantize_input
+        )
+
 
 class QuantDense(_QuantOpBase):
     """Quantized fully-connected layer (~ ``QuantLinear``,
@@ -211,7 +225,13 @@ class QuantDense(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            res = x @ w
+            if self._fast_mxu(qp):
+                res = jnp.dot(
+                    x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                res = x @ w
             if bias is not None:
                 res = res + bias
             if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:
@@ -290,14 +310,25 @@ class QuantConv(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            res = lax.conv_general_dilated(
-                x, w,
-                window_strides=self.strides,
-                padding=self.padding,
-                rhs_dilation=self.kernel_dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=g,
-            )
+            if self._fast_mxu(qp):
+                res = lax.conv_general_dilated(
+                    x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                    window_strides=self.strides,
+                    padding=self.padding,
+                    rhs_dilation=self.kernel_dilation,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=g,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                res = lax.conv_general_dilated(
+                    x, w,
+                    window_strides=self.strides,
+                    padding=self.padding,
+                    rhs_dilation=self.kernel_dilation,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=g,
+                )
             if bias is not None:
                 res = res + bias
             if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:

@@ -59,6 +59,55 @@ def _mbit_list(qcfg: QuantizerConfig):
     return [float(qcfg.fp8.mantissa_bits)]
 
 
+def line_search_ranges(
+    x,
+    qcfg: QuantizerConfig,
+    num_candidates: int = 1000,
+    range_margin: float = 0.5,
+    apply_fn=None,
+):
+    """1-D symmetric grid line search for clipping thresholds.
+
+    ~ the reference ``LineSearchEstimator``'s ``_perform_1D_search``
+    (range_estimators.py:236-256) / ``estimate_range_line_search``
+    (:372-379), used by the analytic error CLI: sweep ``num_candidates``
+    thresholds, quantize with each, pick the MSE argmin. One-sided when the
+    data is non-negative (:263-264).
+
+    Args:
+      x: sample tensor.
+      qcfg: quantizer to evaluate candidates with.
+      apply_fn: optional ``f(x, x_min, x_max) -> x_q`` override.
+
+    Returns (x_min, x_max) scalars.
+    """
+    from . import quantizers
+
+    x = jnp.asarray(x, jnp.float32)
+    one_sided = jnp.all(x >= 0)
+    max_pos_thr = jnp.maximum(jnp.abs(x.min()), x.max()) + range_margin
+    step = max_pos_thr / num_candidates
+
+    if apply_fn is None:
+        def apply_fn(x, x_min, x_max):
+            st = quantizers.init(qcfg)
+            st = quantizers.set_quant_range(qcfg, st, x_min, x_max)
+            return quantizers.apply(qcfg, st, x)
+
+    def loss_for(idx):
+        pos = step * idx
+        neg = jnp.where(one_sided, 0.0, -pos)
+        y = apply_fn(x, neg, pos)
+        return jnp.sum((x - y) ** 2)
+
+    idxs = jnp.arange(1, num_candidates + 1, dtype=jnp.float32)
+    losses = jax.vmap(loss_for)(idxs)
+    best = idxs[jnp.argmin(losses)]
+    x_max = step * best
+    x_min = jnp.where(one_sided, 0.0, -x_max)
+    return x_min, x_max
+
+
 def init(cfg: EstimatorConfig, qcfg: QuantizerConfig, shape,
          per_channel: bool, channel_axis: int = 0) -> EstState:
     """Create the zero state for an estimator given the tensor shape."""

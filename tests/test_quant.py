@@ -200,3 +200,35 @@ class TestQuantSite:
         _, updates = site.apply(variables, w, ESTIMATE,
                                 mutable=["quant", "quant_est"])
         assert updates["quant"]["q"]["maxval"].shape == (8,)
+
+
+class TestLineSearch:
+    def test_line_search_reasonable_and_beats_minmax(self, rng):
+        import numpy as np
+
+        from fp8_quantization_tpu.config import QMethod, QuantizerConfig
+        from fp8_quantization_tpu.quant import quantizers
+        from fp8_quantization_tpu.quant.estimators import line_search_ranges
+
+        # heavy-tailed data: clipping should beat plain min/max
+        x = jnp.asarray((rng.standard_t(3, size=4096) * 1.0).astype(np.float32))
+        qcfg = QuantizerConfig(method=QMethod.symmetric_uniform, n_bits=4)
+        x_min, x_max = line_search_ranges(x, qcfg, num_candidates=200)
+        assert float(x_max) > 0 and float(x_min) == -float(x_max)
+
+        def mse(lo, hi):
+            st = quantizers.set_quant_range(qcfg, quantizers.init(qcfg), lo, hi)
+            return float(jnp.mean((x - quantizers.apply(qcfg, st, x)) ** 2))
+
+        assert mse(x_min, x_max) < mse(x.min(), x.max())
+
+    def test_one_sided(self, rng):
+        import numpy as np
+
+        from fp8_quantization_tpu.config import QMethod, QuantizerConfig
+        from fp8_quantization_tpu.quant.estimators import line_search_ranges
+
+        x = jnp.asarray(np.abs(rng.normal(size=1024)).astype(np.float32))
+        qcfg = QuantizerConfig(method=QMethod.asymmetric_uniform, n_bits=8)
+        x_min, x_max = line_search_ranges(x, qcfg, num_candidates=100)
+        assert float(x_min) == 0.0

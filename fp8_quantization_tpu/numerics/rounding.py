@@ -34,16 +34,20 @@ round_ste.defvjp(_round_ste_fwd, _round_ste_bwd)
 # --- exact power-of-two ---
 @jax.custom_vjp
 def exp2_exact(arg):
-    """``2**arg`` computed exactly for integral ``arg`` via ldexp.
+    """``2**arg`` computed exactly for integral ``arg`` in [-126, 127].
 
     XLA lowers ``exp2`` to ``exp(arg*ln2)``, which is off by ~1ulp·|arg| in
     float32 and would break the bit-exactness of power-of-two quantization
     scales (the reference's ``2.0 ** (...)``, fp8_quantizer.py:151, is exact
-    in torch). Forward uses integer ldexp; backward is the smooth
-    ``ln2 * 2^arg`` so learnable maxval/mantissa_bits still train.
+    in torch). Forward constructs the float from its exponent field with
+    integer bit-ops (faster than ldexp on the TPU VPU); backward is the
+    smooth ``ln2 * 2^arg`` so learnable maxval/mantissa_bits still train.
     """
     arg = jnp.asarray(arg)
-    return jnp.ldexp(jnp.ones_like(arg), jnp.round(arg).astype(jnp.int32))
+    sexp = jnp.clip(jnp.round(arg).astype(jnp.int32) + 127, 1, 254)
+    return jax.lax.bitcast_convert_type(
+        jnp.left_shift(sexp, 23), jnp.float32
+    ).astype(arg.dtype)
 
 
 def _exp2_exact_fwd(arg):

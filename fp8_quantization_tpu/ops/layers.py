@@ -226,10 +226,10 @@ class QuantDense(_QuantOpBase):
         res = None
         if self._plain_first(qp):
             if self._fast_mxu(qp):
-                res = jnp.dot(
-                    x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                # single-pass bf16 MXU execution — exact for FP8-grid
+                # operands; explicit bf16 casts measured slower (extra
+                # elementwise passes), the precision hint is free
+                res = jnp.dot(x, w, precision=lax.Precision.DEFAULT)
             else:
                 res = x @ w
             if bias is not None:
@@ -310,25 +310,16 @@ class QuantConv(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            if self._fast_mxu(qp):
-                res = lax.conv_general_dilated(
-                    x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                    window_strides=self.strides,
-                    padding=self.padding,
-                    rhs_dilation=self.kernel_dilation,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=g,
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                res = lax.conv_general_dilated(
-                    x, w,
-                    window_strides=self.strides,
-                    padding=self.padding,
-                    rhs_dilation=self.kernel_dilation,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=g,
-                )
+            res = lax.conv_general_dilated(
+                x, w,
+                window_strides=self.strides,
+                padding=self.padding,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+                precision=(lax.Precision.DEFAULT if self._fast_mxu(qp)
+                           else None),
+            )
             if bias is not None:
                 res = res + bias
             if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:

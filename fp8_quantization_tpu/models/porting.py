@@ -244,6 +244,36 @@ def port_bert(state: Mapping[str, np.ndarray], num_layers: int = 12
     return params, {}
 
 
+def port_llama(state: Mapping[str, np.ndarray], num_layers: int = 32
+               ) -> Tuple[dict, dict]:
+    """Map an HF ``LlamaForCausalLM`` state dict onto ``QuantizedLlama``."""
+
+    def dense(prefix):
+        return {"kernel": linear_kernel(state[f"{prefix}.weight"])}
+
+    params: dict = {
+        "embed": jnp.asarray(state["model.embed_tokens.weight"]),
+        "final_norm": jnp.asarray(state["model.norm.weight"]),
+        "lm_head": dense("lm_head"),
+    }
+    for i in range(num_layers):
+        src = f"model.layers.{i}"
+        params[f"layer_{i}"] = {
+            "attn_norm": jnp.asarray(state[f"{src}.input_layernorm.weight"]),
+            "mlp_norm": jnp.asarray(
+                state[f"{src}.post_attention_layernorm.weight"]
+            ),
+            "q_proj": dense(f"{src}.self_attn.q_proj"),
+            "k_proj": dense(f"{src}.self_attn.k_proj"),
+            "v_proj": dense(f"{src}.self_attn.v_proj"),
+            "o_proj": dense(f"{src}.self_attn.o_proj"),
+            "gate_proj": dense(f"{src}.mlp.gate_proj"),
+            "up_proj": dense(f"{src}.mlp.up_proj"),
+            "down_proj": dense(f"{src}.mlp.down_proj"),
+        }
+    return params, {}
+
+
 def merge_ported(variables: dict, params: dict, batch_stats: dict) -> dict:
     """Overlay ported tensors onto an initialized variables dict."""
     import flax

@@ -1,0 +1,154 @@
+"""Slot-based continuous batching for the quantized Llama decoder.
+
+Green-field serving layer (BASELINE configs[4]): a fixed-capacity batch of
+cache slots; sequences are admitted into free slots (right-padded prefill —
+safe because causal masking hides later positions and decode overwrites the
+padded cache region), every decode step is ONE fixed-shape jitted SPMD
+program over all active slots, and finished sequences retire their slot for
+the next admission. Host-side bookkeeping only touches scalars; the cache
+pytree lives on device (shardable over the mesh: batch on ``data``, heads on
+``model``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.sites import FIXED, QuantPhase
+from .llama import KVCache, LlamaSpec
+
+
+def _pad_to_bucket(n: int, bucket: int = 16) -> int:
+    return max(bucket, -(-n // bucket) * bucket)
+
+
+class ContinuousBatcher:
+    """Continuous batching over a fixed slot capacity."""
+
+    def __init__(self, model, variables, spec: LlamaSpec, *, slots: int = 4,
+                 max_seq: Optional[int] = None, eos_token: int = -1,
+                 qp: QuantPhase = FIXED):
+        self.model = model
+        self.variables = variables
+        self.spec = spec
+        self.slots = slots
+        self.max_seq = max_seq or spec.max_seq_len
+        self.eos_token = eos_token
+        self.qp = qp
+
+        self.cache = KVCache.zeros(spec, slots, self.max_seq)
+        self.free: List[int] = list(range(slots))
+        self.active: Dict[int, dict] = {}
+
+        @jax.jit
+        def decode_step(variables, tokens, cache):
+            logits, cache = model.apply(variables, tokens, cache, qp)
+            return jnp.argmax(logits[:, -1, :], axis=-1), cache
+
+        self._decode = decode_step
+        self._prefill_cache = {}
+
+    def _prefill_fn(self, t_pad: int):
+        if t_pad not in self._prefill_cache:
+            model, qp = self.model, self.qp
+
+            @jax.jit
+            def prefill(variables, tokens, k, v, real_len):
+                sub = KVCache(k=k, v=v, length=jnp.zeros((1,), jnp.int32))
+                logits, sub = model.apply(variables, tokens, sub, qp)
+                next_tok = jnp.argmax(logits[0, real_len - 1, :])
+                return next_tok, sub.k, sub.v
+
+            self._prefill_cache[t_pad] = prefill
+        return self._prefill_cache[t_pad]
+
+    def admit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
+        """Prefill a prompt into a free slot; returns the slot id."""
+        if not self.free:
+            raise RuntimeError("no free slots")
+        slot = self.free.pop(0)
+        real = len(prompt)
+        t_pad = _pad_to_bucket(real)
+        tokens = np.zeros((1, t_pad), np.int32)
+        tokens[0, :real] = prompt
+
+        k_slot = jax.lax.dynamic_slice_in_dim(self.cache.k, slot, 1, axis=1)
+        v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1, axis=1)
+        next_tok, k_new, v_new = self._prefill_fn(t_pad)(
+            self.variables, jnp.asarray(tokens), k_slot, v_slot,
+            jnp.asarray(real),
+        )
+        self.cache = KVCache(
+            k=jax.lax.dynamic_update_slice_in_dim(self.cache.k, k_new, slot,
+                                                  axis=1),
+            v=jax.lax.dynamic_update_slice_in_dim(self.cache.v, v_new, slot,
+                                                  axis=1),
+            length=self.cache.length.at[slot].set(real),
+        )
+        first = int(next_tok)
+        self.active[slot] = {
+            "generated": [first],
+            "remaining": max_new_tokens - 1,
+            "done": first == self.eos_token or max_new_tokens <= 1,
+        }
+        return slot
+
+    def step(self) -> Dict[int, int]:
+        """One batched decode step for every active unfinished slot."""
+        live = [s for s, st in self.active.items() if not st["done"]]
+        if not live:
+            return {}
+        # feed each slot its last generated token; idle slots get token 0 and
+        # their cache writes are at their frozen length (harmless: their
+        # length is not advanced back — see below)
+        tokens = np.zeros((self.slots, 1), np.int32)
+        for s in live:
+            tokens[s, 0] = self.active[s]["generated"][-1]
+
+        next_tokens, new_cache = self._decode(
+            self.variables, jnp.asarray(tokens), self.cache
+        )
+        # keep advanced state only for live slots
+        keep = np.zeros((self.slots,), bool)
+        keep[live] = True
+        keep_d = jnp.asarray(keep)
+        self.cache = KVCache(
+            k=jnp.where(keep_d[None, :, None, None, None], new_cache.k,
+                        self.cache.k),
+            v=jnp.where(keep_d[None, :, None, None, None], new_cache.v,
+                        self.cache.v),
+            length=jnp.where(keep_d, new_cache.length, self.cache.length),
+        )
+
+        out: Dict[int, int] = {}
+        nt = np.asarray(next_tokens)
+        for s in live:
+            tok = int(nt[s])
+            st = self.active[s]
+            st["generated"].append(tok)
+            st["remaining"] -= 1
+            out[s] = tok
+            if tok == self.eos_token or st["remaining"] <= 0 or (
+                int(self.cache.length[s]) >= self.max_seq - 1
+            ):
+                st["done"] = True
+        return out
+
+    def retire(self, slot: int) -> List[int]:
+        """Free a finished slot; returns its generated tokens."""
+        st = self.active.pop(slot)
+        self.cache = KVCache(
+            k=self.cache.k, v=self.cache.v,
+            length=self.cache.length.at[slot].set(0),
+        )
+        self.free.append(slot)
+        return st["generated"]
+
+    def run_to_completion(self, max_steps: int = 1000) -> None:
+        for _ in range(max_steps):
+            if not self.step():
+                return

@@ -283,7 +283,7 @@ def run_validate(args) -> dict:
     import jax.numpy as jnp
 
     from .eval import data as data_mod
-    from .eval.driver import evaluate, validate_quantized, write_result_file
+    from .eval.driver import validate_quantized, write_result_file
     from .quant.sites import QuantPhase
     from .utils.misc import seed_all
 
@@ -296,6 +296,14 @@ def run_validate(args) -> dict:
     variables = model.init(jax.random.key(args.seed or 0), example,
                            QuantPhase(phase="estimate"))
     variables = load_weights(args.architecture, model, variables, args.model_dir)
+
+    mesh = None
+    if args.mesh_data * args.mesh_model > 1:
+        from .parallel import make_mesh, shard_variables
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        mesh.__enter__()
+        variables = shard_variables(variables, mesh)
 
     image_size = example.shape[1] if example.ndim == 4 else None
 
@@ -331,13 +339,32 @@ def run_validate(args) -> dict:
     bn_batches = (make_batches(args.reestimate_bn_batches)
                   if args.reestimate_bn_batches else None)
 
-    metrics, calibrated = validate_quantized(
-        model, variables, calib, eval_batches,
-        num_est_batches=args.num_est_batches,
-        quant_w=args.weight_quant,
-        quant_a=args.act_quant,
-        bn_reestimate_batches=bn_batches,
-    )
+    if mesh is not None:
+        from .parallel import shard_batch
+
+        def _sharded(batches):
+            for b in batches:
+                if isinstance(b, tuple):
+                    yield tuple(shard_batch(t, mesh) for t in b)
+                else:
+                    yield shard_batch(b, mesh)
+
+        calib = _sharded(calib)
+        eval_batches = _sharded(eval_batches)
+        if bn_batches is not None:
+            bn_batches = _sharded(bn_batches)
+
+    try:
+        metrics, calibrated = validate_quantized(
+            model, variables, calib, eval_batches,
+            num_est_batches=args.num_est_batches,
+            quant_w=args.weight_quant,
+            quant_a=args.act_quant,
+            bn_reestimate_batches=bn_batches,
+        )
+    finally:
+        if mesh is not None:
+            mesh.__exit__(None, None, None)
 
     path = write_result_file(
         args.approx_output_dir, args.architecture, qc.approx, qc.run_method,

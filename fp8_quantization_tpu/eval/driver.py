@@ -19,7 +19,7 @@ import dataclasses
 import datetime
 import json
 import os
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

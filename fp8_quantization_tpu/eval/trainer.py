@@ -17,7 +17,6 @@ import jax
 
 from ..quant.qat import make_optimizer, make_qat_step, merge_variables
 from .driver import evaluate, reestimate_bn
-from .metrics import finalize_metrics
 
 
 class TensorBoardLogger:

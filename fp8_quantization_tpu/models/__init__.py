@@ -4,6 +4,9 @@
 """
 
 from .bert import BERT_BASE, BertSpec, QuantizedBert
+from .llama import KVCache, LLAMA3_8B, LLAMA_TINY, LlamaSpec, QuantizedLlama
+from .serving import ContinuousBatcher
+from .surgery import QuantizedSequential
 from .demo import QuantizedDemoModel
 from .mobilenet_v2 import QuantizedMobileNetV2
 from .resnet import QuantizedResNet
@@ -16,6 +19,7 @@ ARCHITECTURES = {
     "vit_quantized": QuantizedViT,
     "bert_quantized": QuantizedBert,
     "demo_quantized": QuantizedDemoModel,
+    "llama_quantized": QuantizedLlama,
 }
 
 __all__ = [
@@ -28,5 +32,12 @@ __all__ = [
     "VIT_B_16",
     "BertSpec",
     "BERT_BASE",
+    "QuantizedLlama",
+    "LlamaSpec",
+    "LLAMA3_8B",
+    "LLAMA_TINY",
+    "KVCache",
+    "ContinuousBatcher",
+    "QuantizedSequential",
     "ARCHITECTURES",
 ]

@@ -19,10 +19,9 @@ Weights load from a torch FP32 checkpoint via ``porting.port_mobilenet_v2``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..config import QuantConfig
 from ..ops.activations import relu6

@@ -15,8 +15,6 @@ Weights load from torchvision-layout FP32 state dicts via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -19,10 +19,9 @@ follow exactly these rules.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..config import QuantConfig
 from ..ops.activations import ACTIVATIONS

@@ -21,8 +21,6 @@ Weights load from HF torch checkpoints via ``porting.port_vit``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -24,8 +24,6 @@ model (fp8_quantizer.py:13-94).
 
 from __future__ import annotations
 
-import itertools
-
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -32,7 +32,11 @@ def make_mesh(
 ) -> Mesh:
     """Create a (data, model) mesh from the available devices."""
     devices = list(devices if devices is not None else jax.devices())
-    assert data * model <= len(devices), (data, model, len(devices))
+    if data * model > len(devices):
+        raise ValueError(
+            f"mesh ({data} data x {model} model) needs {data * model} devices "
+            f"but only {len(devices)} are available"
+        )
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

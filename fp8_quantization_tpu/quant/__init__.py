@@ -1,10 +1,11 @@
 """Functional quantization layer: quantizers, range estimators, quant sites."""
 
-from . import estimators, quantizers
+from . import estimators, qat, quantizers
 from .sites import ESTIMATE, FIXED, FP32, QuantPhase, QuantSite
 
 __all__ = [
     "estimators",
+    "qat",
     "quantizers",
     "QuantSite",
     "QuantPhase",

@@ -21,10 +21,9 @@ mirror.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from .sites import QuantPhase

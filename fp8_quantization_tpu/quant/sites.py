@@ -18,8 +18,6 @@ to new variables — jittable, shardable, checkpointable as a pytree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -2,6 +2,7 @@
 
 from .data import imagenet_val_batches, strided_batches, synthetic_batches
 from .driver import (
+    cache_quantized_weights,
     calibrate,
     evaluate,
     reestimate_bn,
@@ -14,6 +15,7 @@ __all__ = [
     "imagenet_val_batches",
     "strided_batches",
     "synthetic_batches",
+    "cache_quantized_weights",
     "calibrate",
     "evaluate",
     "reestimate_bn",

@@ -102,6 +102,25 @@ def reestimate_bn(
     return {**variables, "batch_stats": avg}
 
 
+def cache_quantized_weights(
+    model,
+    variables: dict,
+    example,
+    *,
+    quant_a: bool = True,
+    model_kwargs: Optional[dict] = None,
+) -> dict:
+    """Materialize frozen quantized weights into the ``quant_cache``
+    collection (one forward); fixed-phase inference then skips per-call
+    weight quantization."""
+    qp = QuantPhase(phase="fixed", quant_a=quant_a, cache_weights=True)
+    _, ups = model.apply(
+        variables, example, qp, mutable=["quant_cache"],
+        **(model_kwargs or {}),
+    )
+    return {**variables, **ups}
+
+
 def evaluate(
     model,
     variables: dict,

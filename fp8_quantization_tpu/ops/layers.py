@@ -152,9 +152,24 @@ class _QuantOpBase(nn.Module):
         return x, a_bias
 
     def _quant_weight(self, sites: _Sites, kernel, qp: QuantPhase):
-        if qp.quant_w:
-            return sites.weight(kernel, qp, with_bias=True)
-        return kernel, None
+        if not qp.quant_w:
+            return kernel, None
+        # frozen-weight cache: after calibration, weights are static, so the
+        # quantized kernel (and its FP bias) can be materialized once into
+        # the ``quant_cache`` collection and reused every forward
+        if qp.cache_weights:
+            w, w_bias = sites.weight(kernel, qp, with_bias=True)
+            wb = w_bias if w_bias is not None else jnp.zeros((0,), jnp.float32)
+            cw = self.variable("quant_cache", "w_q", lambda: w)
+            cb = self.variable("quant_cache", "w_bias", lambda: wb)
+            if self.is_mutable_collection("quant_cache"):
+                cw.value, cb.value = w, wb
+            return w, w_bias
+        if not qp.estimating and self.has_variable("quant_cache", "w_q"):
+            w = self.get_variable("quant_cache", "w_q")
+            wb = self.get_variable("quant_cache", "w_bias")
+            return w, (wb if wb.size else None)
+        return sites.weight(kernel, qp, with_bias=True)
 
     def _special_armed(self) -> bool:
         rm = self.qc.run_method

@@ -46,6 +46,11 @@ class QuantPhase:
     # mantissa bits is exactly representable in bfloat16; only the f32
     # accumulation order differs from the f32 dot)
     fast: bool = False
+    # populate the ``quant_cache`` collection with pre-quantized weights so
+    # subsequent fixed-phase calls skip the per-forward weight quantization
+    # (weights are frozen after calibration; the reference requantizes every
+    # forward, hijacker.py:117-128)
+    cache_weights: bool = False
 
     @property
     def estimating(self) -> bool:

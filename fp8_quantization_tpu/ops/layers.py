@@ -240,13 +240,10 @@ class QuantDense(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            if self._fast_mxu(qp):
-                # single-pass bf16 MXU execution — exact for FP8-grid
-                # operands; explicit bf16 casts measured slower (extra
-                # elementwise passes), the precision hint is free
-                res = jnp.dot(x, w, precision=lax.Precision.DEFAULT)
-            else:
-                res = x @ w
+            # measured: XLA's default f32 dot already rides the single-pass
+            # bf16 MXU on TPU; explicit bf16 casts and Precision hints both
+            # benchmarked slower, so the fast flag does not alter the dot
+            res = x @ w
             if bias is not None:
                 res = res + bias
             if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:
@@ -332,8 +329,6 @@ class QuantConv(_QuantOpBase):
                 rhs_dilation=self.kernel_dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=g,
-                precision=(lax.Precision.DEFAULT if self._fast_mxu(qp)
-                           else None),
             )
             if bias is not None:
                 res = res + bias

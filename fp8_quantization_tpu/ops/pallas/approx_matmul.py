@@ -110,9 +110,9 @@ def exmy_requant_block(v, bias, mant_width: int, expo_width: int,
 
 def _approx_kernel(
     bias_a_ref, bias_r_ref,                 # SMEM (1,1) int32
-    a_ref, b_ref, bias_b_ref, lut_ref,      # VMEM
+    a_ref, b_ref, bias_b_ref, lut_ref,      # VMEM (a is pre-transposed (bk, bm))
     o_ref, acc_ref,
-    *, mant_width: int, expo_width: int, bk: int, n_k: int,
+    *, mant_width: int, expo_width: int, bk: int, kc: int, n_k: int,
     with_approx: bool, quant_btw: bool, clip_of: bool, s2nn2s: bool,
 ):
     kblk = pl.program_id(2)
@@ -127,7 +127,7 @@ def _approx_kernel(
     s = 2.0 ** -mant_width
     mant_scale = float(1 << mant_width)
 
-    a_blk = a_ref[:]                                        # (bm, bk) f32
+    at_blk = a_ref[:]                                       # (bk, bm) f32
     b_blk = b_ref[:]                                        # (bk, bn) f32
 
     one_i = jnp.ones((1, 1), jnp.int32)
@@ -137,90 +137,92 @@ def _approx_kernel(
         # scale subnormal operands up before extraction (v9.py:52-54)
         min_norm_a = _pow2(one_i - bias_a)
         min_norm_b = _pow2(1 - bias_b)                      # (1, bn)
-        a_sub = (jnp.abs(a_blk) < min_norm_a).astype(jnp.float32)
+        a_sub = (jnp.abs(at_blk) < min_norm_a).astype(jnp.float32)
         b_sub = (jnp.abs(b_blk) < min_norm_b).astype(jnp.float32)
-        a_eff = jnp.where(a_sub > 0, a_blk * mant_scale, a_blk)
+        a_eff = jnp.where(a_sub > 0, at_blk * mant_scale, at_blk)
         b_eff = jnp.where(b_sub > 0, b_blk * mant_scale, b_blk)
     else:
         a_sub = b_sub = None
-        a_eff, b_eff = a_blk, b_blk
+        a_eff, b_eff = at_blk, b_blk
 
-    # decompose the whole tile once at full VPU width; fields kept as f32 so
-    # the K loop can select columns/rows with one-hot MXU matmuls (Mosaic has
-    # no unaligned lane-dim dynamic slicing — the systolic array IS the
-    # gather engine here)
-    ae, am, af = exmy_decompose_block(a_eff, bias_a, mant_width)
-    be, bmant, bf = exmy_decompose_block(b_eff, bias_b, mant_width)
-    ae_f, am_f = ae.astype(jnp.float32), am.astype(jnp.float32)
-    be_f, bm_f = be.astype(jnp.float32), bmant.astype(jnp.float32)
+    # decompose whole tiles once at full VPU width; A side is K-major so the
+    # K loop uses free *static* leading-dim slices (Mosaic forbids unaligned
+    # dynamic lane slicing)
+    ae, am, af = exmy_decompose_block(a_eff, bias_a, mant_width)   # (bk, bm)
+    be, bmant, bf = exmy_decompose_block(b_eff, bias_b, mant_width)  # (bk, bn)
+    am_f = am.astype(jnp.float32)
+    bm_f = bmant.astype(jnp.float32)
 
     lut = lut_ref[:]                                        # (2^M, 2^M) f32
     nm = 1 << mant_width
 
-    b_neg_f = (-(bias_a + bias_b - bias_r)).astype(jnp.float32)  # (1, bn)
-    bias_r_f = bias_r.astype(jnp.float32)
+    b_neg = -(bias_a + bias_b - bias_r)                     # (1, bn) int32
+    iota_nm = lax.broadcasted_iota(jnp.int32, (1, 1, nm), 2).astype(jnp.float32)
 
-    iota_col = lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-    iota_row = lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-    iota_nm_r = lax.broadcasted_iota(jnp.int32, (1, nm), 1).astype(jnp.float32)
-    iota_nm_c = lax.broadcasted_iota(jnp.int32, (nm, 1), 0).astype(jnp.float32)
+    def _cm(mat, k0):
+        # (kc, bm) slice -> (kc, bm, 1); explicit slice+expand_dims (mixed
+        # basic/newaxis indexing lowers as a gather, unsupported in Mosaic)
+        return jnp.expand_dims(lax.slice_in_dim(mat, k0, k0 + kc, axis=0), 2)
 
-    def sel_col(mat, e_c):
-        return jnp.dot(mat, e_c, preferred_element_type=jnp.float32)
+    def _cn(mat, k0):
+        return jnp.expand_dims(lax.slice_in_dim(mat, k0, k0 + kc, axis=0), 1)
 
-    def sel_row(e_r, mat):
-        return jnp.dot(e_r, mat, preferred_element_type=jnp.float32)
-
-    def body(kk, _):
-        e_c = (iota_col == kk).astype(jnp.float32)          # (bk, 1)
-        e_r = (iota_row == kk).astype(jnp.float32)          # (1, bk)
-
-        a_col = sel_col(a_blk, e_c)                         # (bm, 1)
-        b_row = sel_row(e_r, b_blk)                         # (1, bn)
-        golden = a_col * b_row                              # (bm, bn)
+    # K chunks of kc: all work is (kc, bm|1, bn|1)-shaped 3-D broadcasting;
+    # the LUT gather becomes kc statically-unrolled small MXU matmuls
+    for k0 in range(0, bk, kc):
+        a_c = _cm(at_blk, k0)                               # (kc, bm, 1)
+        b_c = _cn(b_blk, k0)                                # (kc, 1, bn)
+        golden = a_c * b_c                                  # (kc, bm, bn)
         if quant_btw:
             golden = exmy_requant_block(golden, bias_r, mant_width,
                                         expo_width, clip_of)
         sign = jnp.where(golden < 0, -1.0, 1.0)
 
-        ae_c = sel_col(ae_f, e_c)
-        af_c = sel_col(af, e_c)
-        be_r = sel_row(e_r, be_f)
-        bf_r = sel_row(e_r, bf)
+        ae_c = _cm(ae, k0)
+        af_c = _cm(af, k0)
+        be_c = _cn(be, k0)
+        bf_c = _cn(bf, k0)
 
         if with_approx:
-            am_c = sel_col(am_f, e_c)                       # (bm, 1)
-            bm_r = sel_row(e_r, bm_f)                       # (1, bn)
-            # LUT gather as two small MXU matmuls:
-            # comp = onehot(am) @ LUT @ onehot(bm)^T
-            oh_a = (am_c == iota_nm_r).astype(jnp.float32)  # (bm, nm)
-            oh_bt = (iota_nm_c == bm_r).astype(jnp.float32)  # (nm, bn)
-            lut_b = jnp.dot(lut, oh_bt, preferred_element_type=jnp.float32)
-            comp = jnp.dot(oh_a, lut_b, preferred_element_type=jnp.float32)
-            mant_prod = af_c * bf_r - s * comp
+            am_c = _cm(am_f, k0)                            # (kc, bm, 1)
+            bm_c = _cn(bm_f, k0)                            # (kc, 1, bn)
+            oh_a = (am_c == iota_nm).astype(jnp.float32)    # (kc, bm, nm)
+            oh_bt = (jnp.swapaxes(iota_nm, 1, 2) == bm_c).astype(
+                jnp.float32)                                 # (kc, nm, bn)
+            # LUT gather as onehot @ LUT @ onehotT; statically unrolled 2-D
+            # dots (Mosaic has no batched dot_general)
+            comp = jnp.stack([
+                jnp.dot(
+                    lax.index_in_dim(oh_a, kk, 0, keepdims=False),
+                    jnp.dot(lut,
+                            lax.index_in_dim(oh_bt, kk, 0, keepdims=False),
+                            preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                for kk in range(kc)
+            ])                                               # (kc, bm, bn)
+            mant_prod = af_c * bf_c - s * comp
         else:
-            mant_prod = af_c * bf_r
+            mant_prod = af_c * bf_c
 
-        expo_f = ae_c + be_r + b_neg_f - bias_r_f           # (bm, bn) f32
-        approx = mant_prod * sign * _pow2(expo_f.astype(jnp.int32))
+        expo = ae_c + be_c + b_neg[None, :, :] - bias_r     # (kc, bm, bn)
+        approx = mant_prod * sign * _pow2(expo)
 
         if s2nn2s:
-            a_sub_c = sel_col(a_sub, e_c)
-            b_sub_r = sel_row(e_r, b_sub)
+            a_sub_c = _cm(a_sub, k0)
+            b_sub_c = _cn(b_sub, k0)
             approx = jnp.where(a_sub_c > 0, approx * s, approx)
-            approx = jnp.where(b_sub_r > 0, approx * s, approx)
+            approx = jnp.where(b_sub_c > 0, approx * s, approx)
             out = jnp.where(golden == 0.0, 0.0, approx)
         else:
-            norm = (ae_c > 0) & (be_r > 0) & (jnp.abs(golden) >= min_norm_r)
+            norm = (ae_c > 0) & (be_c > 0) & (
+                jnp.abs(golden) >= min_norm_r[None, :, :])
             out = jnp.where(norm, approx, golden)
 
         if quant_btw:
             out = exmy_requant_block(out, bias_r, mant_width, expo_width,
                                      clip_of)
-        acc_ref[:] += out
-        return 0
-
-    lax.fori_loop(0, bk, body, 0)
+        acc_ref[:] += jnp.sum(out, axis=0)
 
     @pl.when(kblk == n_k - 1)
     def _():
@@ -240,7 +242,7 @@ def _pad(x, mult, axis):
     jax.jit,
     static_argnames=("expo_width", "mant_width", "with_comp", "dnsmp_factor",
                      "with_approx", "with_s2nn2s_opt", "quant_btw_mult_accu",
-                     "golden_clip_of", "bm", "bn", "bk"),
+                     "golden_clip_of", "bm", "bn", "bk", "kc"),
 )
 def approx_matmul_pallas(
     a,
@@ -260,6 +262,7 @@ def approx_matmul_pallas(
     bm: Optional[int] = None,
     bn: Optional[int] = None,
     bk: Optional[int] = None,
+    kc: int = 8,
 ):
     """Approx matmul ``a @ b`` with v9 float-domain simulation semantics.
 
@@ -269,7 +272,8 @@ def approx_matmul_pallas(
       bias_a / bias_r: scalar int exponent biases.
       bias_b: scalar or (N,) per-output-channel weight bias.
       bm/bn/bk: tile sizes; default adapts to the problem (<= 256, respecting
-        the (8, 128) f32 tiling grain).
+        the (8, 128) f32 tiling grain). kc: K-chunk processed per unrolled
+        iteration as (kc, bm, bn) 3-D work.
 
     Returns (M, N) float32.
     """
@@ -285,7 +289,8 @@ def approx_matmul_pallas(
     if bn is None:
         bn = min(256, _ru(n, 128))
     if bk is None:
-        bk = min(256, _ru(k, 8))
+        bk = min(256, _ru(k, kc))
+    bk = _ru(bk, kc)
 
     bias_a = jnp.asarray(bias_a, jnp.int32).reshape(1, 1)
     bias_r = jnp.asarray(bias_r, jnp.int32).reshape(1, 1)
@@ -303,6 +308,7 @@ def approx_matmul_pallas(
     mp, kp = ap.shape
     np_ = bp.shape[1]
     n_k = kp // bk
+    at = ap.T  # K-major A so the kernel's K loop uses static sublane slices
 
     smem = lambda: pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0),
                                 memory_space=pltpu.SMEM)
@@ -311,14 +317,15 @@ def approx_matmul_pallas(
     out = pl.pallas_call(
         functools.partial(
             _approx_kernel,
-            mant_width=mant_width, expo_width=expo_width, bk=bk, n_k=n_k,
+            mant_width=mant_width, expo_width=expo_width, bk=bk, kc=kc,
+            n_k=n_k,
             with_approx=with_approx, quant_btw=quant_btw_mult_accu,
             clip_of=golden_clip_of, s2nn2s=with_s2nn2s_opt,
         ),
         grid=(mp // bm, np_ // bn, n_k),
         in_specs=[
             smem(), smem(),
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+            pl.BlockSpec((bk, bm), lambda i, j, kk: (kk, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
@@ -334,5 +341,5 @@ def approx_matmul_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(bias_a, bias_r, ap, bp, bias_bp, lut)
+    )(bias_a, bias_r, at, bp, bias_bp, lut)
     return out[:m, :n]

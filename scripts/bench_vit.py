@@ -60,6 +60,9 @@ def main(argv=None):
     _, ups = model.apply(variables, x[:2], ESTIMATE,
                          mutable=["quant", "quant_est"])
     variables = {**variables, **ups}
+    from fp8_quantization_tpu.eval import cache_quantized_weights
+
+    cached_vars = cache_quantized_weights(model, variables, x[:2])
 
     def chained(qp):
         def build(n):
@@ -73,29 +76,32 @@ def main(argv=None):
             return f
         return build
 
-    def slope(build):
+    def slope(build, vs):
         ts = {}
         for n in args.depths:
             f = build(n)
             t0 = time.time()
-            float(f(variables, x))
+            float(f(vs, x))
             print(f"  compile+run n={n}: {time.time() - t0:.1f}s", flush=True)
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(f(variables, x))
+                float(f(vs, x))
                 best = min(best, time.perf_counter() - t0)
             ts[n] = best
         n0, n1 = args.depths
         return (ts[n1] - ts[n0]) / (n1 - n0)
 
     results = {}
-    for name, qp in [
-        ("fp32", QuantPhase(phase="fixed", quant_w=False, quant_a=False)),
-        ("fixed", QuantPhase(phase="fixed")),
-        ("fast", QuantPhase(phase="fixed", fast=True)),
+    for name, qp, vs in [
+        ("fp32", QuantPhase(phase="fixed", quant_w=False, quant_a=False),
+         variables),
+        ("fixed", QuantPhase(phase="fixed"), variables),
+        ("fast", QuantPhase(phase="fixed", fast=True), variables),
+        ("cached", QuantPhase(phase="fixed", fast=True), cached_vars),
     ]:
-        t = slope(chained(qp))
+        saved = globals().get("_vs")
+        t = slope(chained(qp), vs)
         results[name] = b / t
         print(f"{name:6s}: {t * 1e3:8.2f} ms/batch = {b / t:8.1f} imgs/sec",
               flush=True)

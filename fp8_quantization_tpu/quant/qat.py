@@ -31,6 +31,23 @@ from .sites import QuantPhase
 RANGE_PARAM_NAMES = ("maxval", "mantissa_bits", "delta", "zero_float")
 
 
+def _split_quant(tree):
+    """Split a ``quant`` collection into (trainable range params, frozen)."""
+    train, frozen = {}, {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            t, f = _split_quant(v)
+            if t:
+                train[k] = t
+            if f:
+                frozen[k] = f
+        elif k in RANGE_PARAM_NAMES:
+            train[k] = v
+        else:
+            frozen[k] = v
+    return train, frozen
+
+
 def partition_variables(variables: dict) -> Tuple[dict, dict, dict]:
     """Split a variables dict into (model_params, quant_params, rest).
 
@@ -40,23 +57,7 @@ def partition_variables(variables: dict) -> Tuple[dict, dict, dict]:
     """
     model_params = variables.get("params", {})
     quant = variables.get("quant", {})
-
-    def split(tree):
-        train, frozen = {}, {}
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                t, f = split(v)
-                if t:
-                    train[k] = t
-                if f:
-                    frozen[k] = f
-            elif k in RANGE_PARAM_NAMES:
-                train[k] = v
-            else:
-                frozen[k] = v
-        return train, frozen
-
-    quant_train, quant_frozen = split(quant)
+    quant_train, quant_frozen = _split_quant(quant)
     rest = {k: v for k, v in variables.items() if k not in ("params", "quant")}
     rest["_quant_frozen"] = quant_frozen
     return model_params, quant_train, rest
@@ -127,31 +128,45 @@ def make_qat_step(
     quant_opt: Optional[optax.GradientTransformation] = None,
     *,
     grad_scaling: bool = False,
+    estimate_ranges_train: bool = False,
     model_kwargs: Optional[dict] = None,
 ):
     """Build a jitted QAT train step over (model_params, quant_params).
 
-    Uses ``QuantPhase(phase="fixed", grad_scaling=...)`` — ranges are frozen
-    values that receive gradients (the learn_ranges state,
-    quantization_manager.py:100-103), not estimator updates.
+    Default mode is the ``learn_ranges`` state
+    (quantization_manager.py:100-103): ranges are frozen values that receive
+    gradients. With ``estimate_ranges_train`` the ``estimate_ranges_train``
+    Qstate applies instead (quantization_manager.py:105-107,134-139): range
+    estimators keep updating from every training batch and override the
+    gradient updates on range params.
     """
     quant_opt = quant_opt or model_opt
-    qp = QuantPhase(phase="fixed", grad_scaling=grad_scaling)
+    qp = QuantPhase(
+        phase="estimate" if estimate_ranges_train else "fixed",
+        grad_scaling=grad_scaling,
+    )
     model_kwargs = model_kwargs or {}
 
     def loss_fn(model_params, quant_train, rest, x, y):
         variables = merge_variables(model_params, quant_train, rest)
-        logits = model.apply(variables, x, qp, **model_kwargs)
+        if estimate_ranges_train:
+            logits, ups = model.apply(
+                variables, x, qp, mutable=["quant", "quant_est"],
+                **model_kwargs,
+            )
+        else:
+            logits = model.apply(variables, x, qp, **model_kwargs)
+            ups = {}
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, y
         ).mean()
-        return loss, logits
+        return loss, ups
 
     @jax.jit
     def step(state, x, y):
         (model_params, quant_train, rest, m_opt_state, q_opt_state) = state
-        (loss, _), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
-                                              has_aux=True)(
+        (loss, ups), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(
             model_params, quant_train, rest, x, y
         )
         g_model, g_quant = grads
@@ -159,6 +174,12 @@ def make_qat_step(
         model_params = optax.apply_updates(model_params, upd_m)
         upd_q, q_opt_state = quant_opt.update(g_quant, q_opt_state, quant_train)
         quant_train = optax.apply_updates(quant_train, upd_q)
+        if estimate_ranges_train:
+            # estimator-driven ranges override gradient updates
+            new_qt, new_frozen = _split_quant(ups["quant"])
+            quant_train = new_qt
+            rest = dict(rest, _quant_frozen=new_frozen,
+                        quant_est=ups["quant_est"])
         return (model_params, quant_train, rest, m_opt_state, q_opt_state), loss
 
     def init_state(variables: dict):

@@ -98,3 +98,24 @@ def test_qat_learns_ranges_and_weights(calibrated, rng):
     maxval_after = state[1]["fc"]["weight_quantizer"]["q"]["maxval"]
     assert not np.allclose(np.asarray(maxval_before), np.asarray(maxval_after)), \
         "learnable maxval must move under QAT"
+
+
+def test_estimate_ranges_train_mode(calibrated, rng):
+    """The estimate_ranges_train Qstate: range params follow the estimators
+    during training (not gradients)."""
+    model, variables, x = calibrated
+    y = jnp.asarray(rng.integers(0, 10, size=(8,)))
+
+    step, init_state = make_qat_step(
+        model, make_optimizer("SGD", learning_rate=0.05),
+        estimate_ranges_train=True,
+    )
+    state = init_state(variables)
+    x_big = x * 7.0  # much larger batch values -> allminmax must widen
+    state, _ = step(state, x_big, y)
+    mv = float(state[1]["fc"]["activation_quantizer"]["q"]["maxval"][0])
+    assert mv == pytest.approx(float(jnp.abs(x_big).max())), \
+        "maxval must track the estimator, not gradients"
+    # weights still learn
+    state2, loss = step(state, x, y)
+    assert np.isfinite(float(loss))

@@ -32,8 +32,8 @@ from fp8_quantization_tpu.numerics import quantize_to_fp8_ste
 from fp8_quantization_tpu.ops.fastpath import ScalarQuantParams, quantized_matmul
 
 M = N = K = 4096
-DEPTHS = (4, 16)
-REPEATS = 3
+DEPTHS = (4, 20)
+REPEATS = 5
 
 
 def _slope(build, *args):

@@ -33,7 +33,7 @@ ARCH_CHOICES = [
     "resnet18_quantized",
     "resnet50_quantized",
     "vit_quantized",
-    "bert_quantized",
+    # bert_quantized takes token inputs — served by nlp.py, not this CLI
     "demo_quantized",
     # approx twins resolve to the same TPU-native models; the approx behavior
     # is carried by the run-method flags (the reference duplicates the model
@@ -327,7 +327,18 @@ def run_validate(args) -> dict:
             max_batches=max_batches,
         )
 
-    calib = make_batches(args.num_est_batches)
+    def make_train_batches(max_batches=None):
+        """Calibration/BN batches come from TRAIN data (the reference feeds
+        the train loader, quantization/utils.py:99; utils/qat_utils.py:90)."""
+        if args.architecture == "demo_quantized" or args.synthetic_data \
+                or not args.images_dir:
+            return make_batches(max_batches)
+        return data_mod.imagenet_train_batches(
+            args.images_dir, args.batch_size, image_size=image_size,
+            max_batches=max_batches, seed=args.seed or 10,
+        )
+
+    calib = make_train_batches(args.num_est_batches)
     if args.mini_test:
         eval_batches = data_mod.strided_batches(
             make_batches(None), args.mini_test_batches, args.mini_test_start,
@@ -336,7 +347,7 @@ def run_validate(args) -> dict:
     else:
         eval_batches = make_batches(args.max_eval_batches)
 
-    bn_batches = (make_batches(args.reestimate_bn_batches)
+    bn_batches = (make_train_batches(args.reestimate_bn_batches)
                   if args.reestimate_bn_batches else None)
 
     if mesh is not None:

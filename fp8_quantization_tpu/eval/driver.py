@@ -135,14 +135,16 @@ def evaluate(
     qp = QuantPhase(phase="fixed", quant_w=quant_w, quant_a=quant_a)
     model_kwargs = model_kwargs or {}
 
+    # variables are a traced argument (not a closure) so repeated evaluate()
+    # calls reuse the compiled executable instead of re-embedding weights
     @jax.jit
-    def step(state: MetricState, x, y):
+    def step(variables, state: MetricState, x, y):
         logits = model.apply(variables, x, qp, **model_kwargs)
         return update_metrics(state, logits, y, k=topk)
 
     state = MetricState.zero()
     for x, y in batches:
-        state = step(state, jnp.asarray(x), jnp.asarray(y))
+        state = step(variables, state, jnp.asarray(x), jnp.asarray(y))
     return finalize_metrics(state)
 
 

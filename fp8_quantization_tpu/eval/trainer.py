@@ -15,7 +15,13 @@ from typing import Callable, Iterable, Optional
 
 import jax
 
-from ..quant.qat import make_optimizer, make_qat_step, merge_variables
+from ..quant.qat import (
+    RANGE_PARAM_NAMES,
+    make_optimizer,
+    make_qat_step,
+    merge_variables,
+    trainable_range_params,
+)
 from .driver import evaluate, reestimate_bn
 
 
@@ -71,16 +77,20 @@ def train_qat(
     model_kwargs: Optional[dict] = None,
 ):
     """Run QAT; returns (variables, history of per-epoch metrics)."""
-    total = (steps_per_epoch or 1000) * max_epochs
+    spe = steps_per_epoch or 1000
+    total = spe * max_epochs
     model_opt = make_optimizer(optimizer, learning_rate, momentum,
-                               weight_decay, learning_rate_schedule, total)
+                               weight_decay, learning_rate_schedule, total,
+                               steps_per_epoch=spe)
     quant_opt = (
         make_optimizer(quant_optimizer, quant_learning_rate)
         if sep_quant_optimizer else None
     )
+    trainable = (trainable_range_params(model.qc)
+                 if hasattr(model, "qc") else RANGE_PARAM_NAMES)
     step, init_state = make_qat_step(
         model, model_opt, quant_opt, grad_scaling=grad_scaling,
-        model_kwargs=model_kwargs,
+        trainable=trainable, model_kwargs=model_kwargs,
     )
     state = init_state(variables)
     tb = TensorBoardLogger(tb_logging_dir)
@@ -96,8 +106,10 @@ def train_qat(
                 break
 
         variables = merge_variables(state[0], state[1], state[2])
-        if reestimate_bn_stats and eval_batches is not None:
-            variables = reestimate_bn(model, variables, eval_batches(),
+        if reestimate_bn_stats:
+            # BN stats come from TRAINING data (utils/qat_utils.py feeds the
+            # train loader) — never from the eval set
+            variables = reestimate_bn(model, variables, train_batches(),
                                       model_kwargs=model_kwargs)
             # keep optimizer state; refresh the rest snapshot
             state = (state[0], state[1],

@@ -201,20 +201,6 @@ class _QuantOpBase(nn.Module):
             res = sites.act(res, qp)
         return res
 
-    def _fast_mxu(self, qp: QuantPhase) -> bool:
-        """bf16 MXU execution is exact when both operands are FP8-quantized
-        (mant_width <= 7 grid values are exact in bfloat16)."""
-        from ..config import QMethod
-
-        return (
-            qp.fast
-            and self.qc.method == QMethod.fp_quantizer
-            and (self.qc.act_method or self.qc.method) == QMethod.fp_quantizer
-            and qp.quant_w
-            and qp.quant_a
-            and self.qc.quantize_input
-        )
-
 
 class QuantDense(_QuantOpBase):
     """Quantized fully-connected layer (~ ``QuantLinear``,
@@ -240,9 +226,9 @@ class QuantDense(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            # measured: XLA's default f32 dot already rides the single-pass
-            # bf16 MXU on TPU; explicit bf16 casts and Precision hints both
-            # benchmarked slower, so the fast flag does not alter the dot
+            # note: XLA's default f32 dot already rides the single-pass bf16
+            # MXU on TPU; explicit bf16 casts and Precision hints both
+            # benchmarked slower, so no fast-path variant exists here
             res = x @ w
             if bias is not None:
                 res = res + bias
@@ -349,8 +335,13 @@ class QuantConv(_QuantOpBase):
             pg = jnp.moveaxis(pg, 2, 0).reshape(g, m, kg)
             wg = w.reshape(kh * kw, in_per_group, g, og)
             wg = jnp.moveaxis(wg, 2, 0).reshape(g, kg, og)
-            wb_g = (w_bias.reshape(g, og) if w_bias is not None else
-                    jnp.zeros((g, og)))
+            if w_bias is None:
+                wb_g = jnp.zeros((g, og))
+            elif w_bias.size == 1:
+                # per-tensor weight quantization: one bias for all channels
+                wb_g = jnp.broadcast_to(w_bias.reshape(1, 1), (g, og))
+            else:
+                wb_g = w_bias.reshape(g, og)
 
             rm = self.qc.run_method
             if rm.quantize_after_mult_and_add:

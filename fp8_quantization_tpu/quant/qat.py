@@ -31,33 +31,50 @@ from .sites import QuantPhase
 RANGE_PARAM_NAMES = ("maxval", "mantissa_bits", "delta", "zero_float")
 
 
-def _split_quant(tree):
+def _split_quant(tree, trainable: Tuple[str, ...] = RANGE_PARAM_NAMES):
     """Split a ``quant`` collection into (trainable range params, frozen)."""
     train, frozen = {}, {}
     for k, v in tree.items():
         if isinstance(v, dict):
-            t, f = _split_quant(v)
+            t, f = _split_quant(v, trainable)
             if t:
                 train[k] = t
             if f:
                 frozen[k] = f
-        elif k in RANGE_PARAM_NAMES:
+        elif k in trainable:
             train[k] = v
         else:
             frozen[k] = v
     return train, frozen
 
 
-def partition_variables(variables: dict) -> Tuple[dict, dict, dict]:
+def trainable_range_params(qc) -> Tuple[str, ...]:
+    """Which range params QAT may train, per the config's learn flags
+    (the reference's ``make_range_trainable``, fp8_quantizer.py:289-301 /
+    uniform_quantizers.py:242-246: uniform delta/zero_float always become
+    Parameters in learn_ranges; FP maxval/mantissa_bits only when their
+    learn flags are set)."""
+    names = ["delta", "zero_float"]
+    if qc.fp8.learn_maxval:
+        names.append("maxval")
+    if qc.fp8.learn_mantissa_bits:
+        names.append("mantissa_bits")
+    return tuple(names)
+
+
+def partition_variables(variables: dict,
+                        trainable: Tuple[str, ...] = RANGE_PARAM_NAMES
+                        ) -> Tuple[dict, dict, dict]:
     """Split a variables dict into (model_params, quant_params, rest).
 
-    model_params: the ``params`` collection. quant_params: the trainable
-    leaves of the ``quant`` collection. rest: everything else (estimator
-    state, batch stats, integer flags) — not optimized.
+    model_params: the ``params`` collection. quant_params: the ``trainable``
+    leaves of the ``quant`` collection (see ``trainable_range_params``).
+    rest: everything else (estimator state, batch stats, integer flags) —
+    not optimized.
     """
     model_params = variables.get("params", {})
     quant = variables.get("quant", {})
-    quant_train, quant_frozen = _split_quant(quant)
+    quant_train, quant_frozen = _split_quant(quant, trainable)
     rest = {k: v for k, v in variables.items() if k not in ("params", "quant")}
     rest["_quant_frozen"] = quant_frozen
     return model_params, quant_train, rest
@@ -82,16 +99,20 @@ def merge_variables(model_params: dict, quant_train: dict, rest: dict) -> dict:
     return variables
 
 
-def make_schedule(base_lr: float, schedule: Optional[str], total_steps: int):
-    """'MultiStepLR:10:20:40' or 'cosine:1e-4' (optimizer_utils.py:24-39);
-    milestones are epochs-as-fractions of total_steps when < total_steps."""
+def make_schedule(base_lr: float, schedule: Optional[str], total_steps: int,
+                  steps_per_epoch: int = 1):
+    """'MultiStepLR:10:20:40' or 'cosine:1e-4' (optimizer_utils.py:24-39).
+
+    MultiStepLR milestones are EPOCH indices (the reference steps its
+    scheduler once per epoch); they scale by ``steps_per_epoch`` to become
+    optimizer-step boundaries."""
     if not schedule:
         return base_lr
     kind, *rest = schedule.split(":")
     if kind == "MultiStepLR":
         milestones = [int(m) for m in rest]
         return optax.piecewise_constant_schedule(
-            base_lr, {m: 0.1 for m in milestones}
+            base_lr, {m * steps_per_epoch: 0.1 for m in milestones}
         )
     if kind == "cosine":
         final = float(rest[0]) if rest else 0.0
@@ -108,9 +129,10 @@ def make_optimizer(
     weight_decay: Optional[float] = None,
     schedule: Optional[str] = None,
     total_steps: int = 10_000,
+    steps_per_epoch: int = 1,
 ) -> optax.GradientTransformation:
     """SGD/Adam factory (optimizer_utils.py:8-23)."""
-    lr = make_schedule(learning_rate, schedule, total_steps)
+    lr = make_schedule(learning_rate, schedule, total_steps, steps_per_epoch)
     if name.upper() == "SGD":
         opt = optax.sgd(lr, momentum=momentum)
     elif name.upper() == "ADAM":
@@ -129,6 +151,7 @@ def make_qat_step(
     *,
     grad_scaling: bool = False,
     estimate_ranges_train: bool = False,
+    trainable: Tuple[str, ...] = RANGE_PARAM_NAMES,
     model_kwargs: Optional[dict] = None,
 ):
     """Build a jitted QAT train step over (model_params, quant_params).
@@ -176,14 +199,15 @@ def make_qat_step(
         quant_train = optax.apply_updates(quant_train, upd_q)
         if estimate_ranges_train:
             # estimator-driven ranges override gradient updates
-            new_qt, new_frozen = _split_quant(ups["quant"])
+            new_qt, new_frozen = _split_quant(ups["quant"], trainable)
             quant_train = new_qt
             rest = dict(rest, _quant_frozen=new_frozen,
                         quant_est=ups["quant_est"])
         return (model_params, quant_train, rest, m_opt_state, q_opt_state), loss
 
     def init_state(variables: dict):
-        model_params, quant_train, rest = partition_variables(variables)
+        model_params, quant_train, rest = partition_variables(variables,
+                                                              trainable)
         return (
             model_params,
             quant_train,

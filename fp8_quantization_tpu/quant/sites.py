@@ -41,11 +41,6 @@ class QuantPhase:
     # BN re-estimation pass: recompute BN running stats from the batch
     # (utils/qat_utils.py:48-108); averaged over batches by the eval driver
     reestimate_bn: bool = False
-    # TPU fast inference: run matmuls/convs whose operands are FP8-quantized
-    # on the native bf16 MXU path (exact — every ExMy value with <= 7
-    # mantissa bits is exactly representable in bfloat16; only the f32
-    # accumulation order differs from the f32 dot)
-    fast: bool = False
     # populate the ``quant_cache`` collection with pre-quantized weights so
     # subsequent fixed-phase calls skip the per-forward weight quantization
     # (weights are frozen after calibration; the reference requantizes every

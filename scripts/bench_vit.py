@@ -97,17 +97,14 @@ def main(argv=None):
         ("fp32", QuantPhase(phase="fixed", quant_w=False, quant_a=False),
          variables),
         ("fixed", QuantPhase(phase="fixed"), variables),
-        ("fast", QuantPhase(phase="fixed", fast=True), variables),
-        ("cached", QuantPhase(phase="fixed", fast=True), cached_vars),
+        ("cached", QuantPhase(phase="fixed"), cached_vars),
     ]:
-        saved = globals().get("_vs")
         t = slope(chained(qp), vs)
         results[name] = b / t
         print(f"{name:6s}: {t * 1e3:8.2f} ms/batch = {b / t:8.1f} imgs/sec",
               flush=True)
 
-    print(f"\nfast vs fp32: {results['fast'] / results['fp32']:.3f}x")
-    print(f"fast vs fixed: {results['fast'] / results['fixed']:.3f}x")
+    print(f"\nquantized vs fp32: {results['cached'] / results['fp32']:.3f}x")
 
 
 if __name__ == "__main__":

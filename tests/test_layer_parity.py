@@ -304,3 +304,44 @@ class TestConvParity:
         np.testing.assert_allclose(
             np.transpose(y_ours, (0, 3, 1, 2)), y_ref, rtol=1e-4, atol=1e-5
         )
+
+
+def test_conv_approx_per_tensor_weights(stack, rng, capsys):
+    """Regression: approx conv with per-tensor weight quantization (scalar
+    weight bias broadcast over channels) must not crash and must match the
+    reference (which broadcasts x_bias/y_bias scalars)."""
+    in_ch, out_ch, k = 3, 4, 3
+    W = rng.normal(size=(out_ch, in_ch, k, k)).astype(np.float32)
+    batches = [rng.normal(size=(1, in_ch, 6, 6)).astype(np.float32)
+               for _ in range(2)]
+    eval_x = rng.normal(size=(1, in_ch, 6, 6)).astype(np.float32)
+
+    rm = {"approx_flag": False, "quantize_after_mult_and_add": True,
+          "res_quantizer_flag": True, "original_quantize_res": True}
+    layer = QuantConv(
+        qc=_our_qc(rm, per_channel=False), features=out_ch,
+        kernel_size=(k, k), strides=(1, 1), padding=[(1, 1), (1, 1)],
+        use_bias=False,
+    )
+    kernel = jnp.asarray(np.transpose(W, (2, 3, 1, 0)))
+    nhwc = lambda t: np.transpose(t, (0, 2, 3, 1))
+    y = _calibrate_and_eval_ours(
+        layer, [nhwc(t) for t in batches], nhwc(eval_x),
+        extra=[("kernel", kernel)],
+    )
+    assert np.all(np.isfinite(y))
+
+    # approx path too (exercises the scalar weight-bias broadcast)
+    rm2 = {"approx_flag": True, "quantize_after_mult_and_add": False,
+           "res_quantizer_flag": True, "original_quantize_res": True}
+    layer2 = QuantConv(
+        qc=_our_qc(rm2, per_channel=False,
+                   approx=ApproxConfig(with_approx=True, with_comp=True)),
+        features=out_ch, kernel_size=(k, k), strides=(1, 1),
+        padding=[(1, 1), (1, 1)], use_bias=False,
+    )
+    y2 = _calibrate_and_eval_ours(
+        layer2, [nhwc(t) for t in batches], nhwc(eval_x),
+        extra=[("kernel", kernel)],
+    )
+    assert np.all(np.isfinite(y2))

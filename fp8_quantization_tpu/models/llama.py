@@ -99,12 +99,19 @@ class QuantLlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, k_cache, v_cache, positions, length,
-                 qp: QuantPhase = FIXED):
+                 qp: QuantPhase = FIXED, page_table=None):
         """One decoder layer over a token chunk.
 
-        x: (B, T, hidden); k_cache/v_cache: (B, S, H_kv, D) bf16; positions:
-        (B, T) absolute positions of the chunk; length: (B,) cache fill
-        before this chunk. Returns (y, new_k_cache, new_v_cache).
+        x: (B, T, hidden); positions: (B, T) absolute positions of the chunk;
+        length: (B,) cache fill before this chunk. Two cache layouts:
+
+        * dense (``page_table is None``): k_cache/v_cache are (B, S, H_kv, D)
+          bf16 slabs indexed by absolute position;
+        * paged: k_cache/v_cache are (N_pages, page_size, H_kv, D) bf16 page
+          pools and ``page_table`` (B, max_pages) int32 maps each slot's
+          logical page to a physical page (see models/paged_kv.py).
+
+        Returns (y, new_k_cache, new_v_cache).
         """
         s = self.spec
         b, t, _ = x.shape
@@ -134,21 +141,36 @@ class QuantLlamaBlock(nn.Module):
             v = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
                           name="v_cache_quantizer")(v, qp)
 
-        # write chunk into the cache at [length, length+t) per slot
-        def write(cache, new):
-            def one(cache_b, new_b, start):
-                return jax.lax.dynamic_update_slice(
-                    cache_b, new_b.astype(jnp.bfloat16), (start, 0, 0)
-                )
-            return jax.vmap(one)(cache, new, length)
+        if page_table is None:
+            # dense: write chunk at [length, length+t) per slot
+            def write(cache, new):
+                def one(cache_b, new_b, start):
+                    return jax.lax.dynamic_update_slice(
+                        cache_b, new_b.astype(jnp.bfloat16), (start, 0, 0)
+                    )
+                return jax.vmap(one)(cache, new, length)
 
-        k_cache = write(k_cache, k)
-        v_cache = write(v_cache, v)
+            k_cache = write(k_cache, k)
+            v_cache = write(v_cache, v)
+            s_max = k_cache.shape[1]
+            kf = k_cache.astype(jnp.float32)
+            vf = v_cache.astype(jnp.float32)
+        else:
+            # paged: scatter the chunk into physical pages, gather the slot's
+            # logical view back for attention. Unallocated table entries point
+            # at the reserved trash page 0, so padded/idle writes are inert.
+            page = k_cache.shape[1]
+            pp = jnp.take_along_axis(page_table, positions // page, axis=1)
+            off = positions % page
+            k_cache = k_cache.at[pp, off].set(k.astype(jnp.bfloat16))
+            v_cache = v_cache.at[pp, off].set(v.astype(jnp.bfloat16))
+            s_max = page_table.shape[1] * page
+            kf = k_cache[page_table].reshape(
+                b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
+            vf = v_cache[page_table].reshape(
+                b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
 
-        # attention over the cache prefix [0, length + t)
-        s_max = k_cache.shape[1]
-        kf = k_cache.astype(jnp.float32)
-        vf = v_cache.astype(jnp.float32)
+        # attention over the (logical) cache prefix [0, length + t)
         # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
         scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) / jnp.sqrt(
@@ -185,13 +207,15 @@ class QuantizedLlama(nn.Module):
     spec: LlamaSpec = LLAMA_TINY
 
     @nn.compact
-    def __call__(self, tokens, cache: KVCache, qp: QuantPhase = FIXED
-                 ) -> Tuple[jnp.ndarray, KVCache]:
-        """tokens: (B, T) int32 appended after ``cache.length``. Returns
-        (logits (B, T, vocab), updated cache)."""
+    def __call__(self, tokens, cache, qp: QuantPhase = FIXED):
+        """tokens: (B, T) int32 appended after ``cache.length``. ``cache`` is
+        a dense ``KVCache`` or a ``paged_kv.PagedKVCache``. Returns
+        (logits (B, T, vocab), updated cache of the same type)."""
         s = self.spec
         b, t = tokens.shape
         positions = cache.length[:, None] + jnp.arange(t)[None, :]
+        paged = hasattr(cache, "page_table")
+        page_table = cache.page_table if paged else None
 
         embed = self.param("embed", nn.initializers.normal(0.02),
                            (s.vocab_size, s.hidden_size))
@@ -199,9 +223,11 @@ class QuantizedLlama(nn.Module):
 
         new_k, new_v = [], []
         for i in range(s.num_layers):
+            k_i = cache.k_pages[i] if paged else cache.k[i]
+            v_i = cache.v_pages[i] if paged else cache.v[i]
             x, k_l, v_l = QuantLlamaBlock(
                 qc=self.qc, spec=s, name=f"layer_{i}"
-            )(x, cache.k[i], cache.v[i], positions, cache.length, qp)
+            )(x, k_i, v_i, positions, cache.length, qp, page_table)
             new_k.append(k_l)
             new_v.append(v_l)
 
@@ -211,8 +237,14 @@ class QuantizedLlama(nn.Module):
         logits = QuantDense(qc=self.qc, features=s.vocab_size, use_bias=False,
                             quantize_output=False, name="lm_head")(x, qp)
 
-        cache = KVCache(
-            k=jnp.stack(new_k), v=jnp.stack(new_v),
-            length=cache.length + t,
-        )
+        if paged:
+            cache = type(cache)(
+                k_pages=jnp.stack(new_k), v_pages=jnp.stack(new_v),
+                page_table=page_table, length=cache.length + t,
+            )
+        else:
+            cache = KVCache(
+                k=jnp.stack(new_k), v=jnp.stack(new_v),
+                length=cache.length + t,
+            )
         return logits, cache

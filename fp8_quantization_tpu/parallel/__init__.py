@@ -1,5 +1,6 @@
 """Mesh/sharding layer (green-field: the reference is single-device)."""
 
+from .ring_attention import full_attention, ring_attention
 from .sharding import (
     initialize_multihost,
     make_mesh,
@@ -10,6 +11,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "full_attention",
+    "ring_attention",
     "initialize_multihost",
     "make_mesh",
     "param_spec",

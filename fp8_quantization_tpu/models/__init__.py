@@ -3,6 +3,8 @@
 ~ reference ``models/__init__.py`` QuantArchitectures registry.
 """
 
+from .flax_surgery import QuantizedFlaxModel, quantize_flax_model
+from .paged_kv import PagedBatcher, PagedKVCache
 from .bert import BERT_BASE, BertSpec, QuantizedBert
 from .llama import KVCache, LLAMA3_8B, LLAMA_TINY, LlamaSpec, QuantizedLlama
 from .serving import ContinuousBatcher
@@ -38,6 +40,10 @@ __all__ = [
     "LLAMA_TINY",
     "KVCache",
     "ContinuousBatcher",
+    "PagedBatcher",
+    "PagedKVCache",
+    "QuantizedFlaxModel",
+    "quantize_flax_model",
     "QuantizedSequential",
     "ARCHITECTURES",
 ]

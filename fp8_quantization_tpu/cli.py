@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--interpolation", type=str, default="bilinear")
         p.add_argument("--batch-size", type=int, default=128)
         p.add_argument("--num-workers", type=int, default=16)
+        p.add_argument("--native-loader", action="store_true",
+                       help="decode/preprocess val batches in the C++ "
+                            "thread pool (runtime/libimage_loader.so)")
         p.add_argument("--seed", type=int, default=None)
         p.add_argument("--architecture", type=str, required=True,
                        choices=ARCH_CHOICES)
@@ -322,6 +325,15 @@ def run_validate(args) -> dict:
                 args.batch_size, max_batches or 8, image_size=image_size,
                 seed=args.seed or 10,
             )
+        if getattr(args, "native_loader", False):
+            from .eval import native_data
+
+            if native_data.available():
+                return native_data.imagenet_val_batches_native(
+                    args.images_dir, args.batch_size, image_size=image_size,
+                    max_batches=max_batches, num_threads=args.num_workers,
+                )
+            print("warning: native loader unavailable, using PIL pipeline")
         return data_mod.imagenet_val_batches(
             args.images_dir, args.batch_size, image_size=image_size,
             max_batches=max_batches,

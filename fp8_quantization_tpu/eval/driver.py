@@ -108,12 +108,15 @@ def cache_quantized_weights(
     example,
     *,
     quant_a: bool = True,
+    fast: bool = False,
     model_kwargs: Optional[dict] = None,
 ) -> dict:
     """Materialize frozen quantized weights into the ``quant_cache``
     collection (one forward); fixed-phase inference then skips per-call
-    weight quantization."""
-    qp = QuantPhase(phase="fixed", quant_a=quant_a, cache_weights=True)
+    weight quantization. ``fast=True`` stores them bfloat16 (lossless for
+    the grid) for the bf16 fast inference mode."""
+    qp = QuantPhase(phase="fixed", quant_a=quant_a, cache_weights=True,
+                    fast=fast)
     _, ups = model.apply(
         variables, example, qp, mutable=["quant_cache"],
         **(model_kwargs or {}),

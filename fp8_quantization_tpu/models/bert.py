@@ -76,14 +76,18 @@ class QuantBertSelfAttention(nn.Module):
             return h.reshape(b, t, s.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
-            jnp.asarray(head_dim, x.dtype)
+        # preferred f32: in fast mode q/k/v arrive bf16 (grid-exact); the
+        # MXU reads bf16 and accumulates f32, keeping softmax math in f32
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(head_dim, jnp.float32)
         )
         if attention_mask is not None:
             bias = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * -1e9
             scores = scores + bias
         probs = nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                         preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, s.hidden_size)
         return _ActSite(qc=self.qc, name="context_site")(ctx, qp)
 

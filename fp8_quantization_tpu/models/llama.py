@@ -96,6 +96,11 @@ def _rope(x, positions, theta):
 class QuantLlamaBlock(nn.Module):
     qc: QuantConfig
     spec: LlamaSpec
+    # (mesh, seq_axis): long-context prefill attention runs as a ring over
+    # the mesh axis (parallel/ring_attention.py) instead of the cache gather.
+    # Ring prefill is valid only from an empty cache (pure self-attention
+    # over the chunk) and needs T divisible by the axis size.
+    ring_spec: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, k_cache, v_cache, positions, length,
@@ -170,6 +175,23 @@ class QuantLlamaBlock(nn.Module):
             vf = v_cache[page_table].reshape(
                 b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
 
+        if self.ring_spec is not None and t > 1:
+            # ring prefill: exact sequence-parallel self-attention over the
+            # chunk (K/V blocks rotate over ICI; online softmax) — the cache
+            # prefix must be empty (length == 0)
+            from ..parallel.ring_attention import ring_attention
+
+            mesh, seq_axis = self.ring_spec
+            ctx = ring_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), mesh, seq_axis=seq_axis, causal=True,
+            )
+            ctx = ctx.reshape(b, t, s.num_heads * hd)
+            attn_out = QuantDense(qc=self.qc, features=s.hidden_size,
+                                  use_bias=False, name="o_proj")(ctx, qp)
+            x = x + attn_out.astype(jnp.float32)
+            return self._mlp(x, qp), k_cache, v_cache
+
         # attention over the (logical) cache prefix [0, length + t)
         # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
@@ -186,8 +208,11 @@ class QuantLlamaBlock(nn.Module):
 
         attn_out = QuantDense(qc=self.qc, features=s.hidden_size,
                               use_bias=False, name="o_proj")(ctx, qp)
-        x = x + attn_out
+        x = x + attn_out.astype(jnp.float32)
+        return self._mlp(x, qp), k_cache, v_cache
 
+    def _mlp(self, x, qp: QuantPhase):
+        s = self.spec
         gamma2 = self.param("mlp_norm", nn.initializers.ones_init(),
                             (s.hidden_size,))
         h = _rms_norm(x, gamma2, s.rms_eps)
@@ -196,8 +221,10 @@ class QuantLlamaBlock(nn.Module):
         up = QuantDense(qc=self.qc, features=s.mlp_dim, use_bias=False,
                         name="up_proj")(h, qp)
         down = QuantDense(qc=self.qc, features=s.hidden_size, use_bias=False,
-                          name="down_proj")(jax.nn.silu(gate) * up, qp)
-        return x + down, k_cache, v_cache
+                          name="down_proj")(
+            jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32),
+            qp)
+        return x + down.astype(jnp.float32)
 
 
 class QuantizedLlama(nn.Module):
@@ -205,6 +232,9 @@ class QuantizedLlama(nn.Module):
 
     qc: QuantConfig
     spec: LlamaSpec = LLAMA_TINY
+    # (mesh, seq_axis) for ring-attention prefill (see QuantLlamaBlock);
+    # only use when calling with an EMPTY cache and T % axis_size == 0
+    ring_spec: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, tokens, cache, qp: QuantPhase = FIXED):
@@ -226,7 +256,8 @@ class QuantizedLlama(nn.Module):
             k_i = cache.k_pages[i] if paged else cache.k[i]
             v_i = cache.v_pages[i] if paged else cache.v[i]
             x, k_l, v_l = QuantLlamaBlock(
-                qc=self.qc, spec=s, name=f"layer_{i}"
+                qc=self.qc, spec=s, ring_spec=self.ring_spec,
+                name=f"layer_{i}"
             )(x, k_i, v_i, positions, cache.length, qp, page_table)
             new_k.append(k_l)
             new_v.append(v_l)

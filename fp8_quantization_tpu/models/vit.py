@@ -81,11 +81,15 @@ class QuantViTSelfAttention(nn.Module):
             return h.reshape(b, t, s.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(
-            jnp.asarray(head_dim, x.dtype)
+        # preferred f32: in fast mode q/k/v arrive bf16 (grid-exact); the
+        # MXU reads bf16 and accumulates f32, keeping softmax math in f32
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(head_dim, jnp.float32)
         )
         probs = nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                         preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, s.hidden_size)
         return _ActSite(qc=self.qc, name="context_site")(ctx, qp)
 
@@ -107,8 +111,10 @@ class QuantViTBlock(nn.Module):
         h = QuantDense(qc=self.qc, features=s.hidden_size,
                        name="attention_output")(h, qp)
 
-        # first residual connection + requant (vit_quantized.py:280-281)
-        x = _ActSite(qc=self.qc, name="residual1_site")(h + x, qp)
+        # first residual connection + requant (vit_quantized.py:280-281);
+        # the add runs in f32 — both operands are grid-exact site outputs
+        x = _ActSite(qc=self.qc, name="residual1_site")(
+            h.astype(jnp.float32) + x.astype(jnp.float32), qp)
 
         y = QuantLayerNorm(qc=self.qc, epsilon=s.layer_norm_eps,
                            name="layernorm_after")(x, qp)
@@ -124,7 +130,8 @@ class QuantViTBlock(nn.Module):
         y = _ActSite(qc=self.qc, name="intermediate_site")(y, qp)
         # output: dense + residual add + site (vit_quantized.py:137-156)
         y = QuantDense(qc=self.qc, features=s.hidden_size, name="output")(y, qp)
-        return _ActSite(qc=self.qc, name="residual2_site")(y + x, qp)
+        return _ActSite(qc=self.qc, name="residual2_site")(
+            y.astype(jnp.float32) + x.astype(jnp.float32), qp)
 
 
 class QuantizedViT(nn.Module):

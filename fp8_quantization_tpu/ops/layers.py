@@ -159,6 +159,8 @@ class _QuantOpBase(nn.Module):
         # the ``quant_cache`` collection and reused every forward
         if qp.cache_weights:
             w, w_bias = sites.weight(kernel, qp, with_bias=True)
+            if qp.fast:
+                w = w.astype(jnp.bfloat16)  # grid values: lossless
             wb = w_bias if w_bias is not None else jnp.zeros((0,), jnp.float32)
             cw = self.variable("quant_cache", "w_q", lambda: w)
             cb = self.variable("quant_cache", "w_bias", lambda: wb)
@@ -168,6 +170,8 @@ class _QuantOpBase(nn.Module):
         if not qp.estimating and self.has_variable("quant_cache", "w_q"):
             w = self.get_variable("quant_cache", "w_q")
             wb = self.get_variable("quant_cache", "w_bias")
+            if qp.fast:
+                w = w.astype(jnp.bfloat16)
             return w, (wb if wb.size else None)
         return sites.weight(kernel, qp, with_bias=True)
 
@@ -196,6 +200,10 @@ class _QuantOpBase(nn.Module):
 
     def _tail(self, sites: _Sites, res, qp: QuantPhase):
         if self.activation is not None:
+            # fast mode: a bf16 res-site output holds grid-exact values; the
+            # activation itself must run in f32 to match the fixed phase
+            if res.dtype != jnp.float32:
+                res = res.astype(jnp.float32)
             res = self.activation(res)
         if not self.qc.quantize_input and qp.quant_a and self.quantize_output:
             res = sites.act(res, qp)
@@ -226,17 +234,20 @@ class QuantDense(_QuantOpBase):
 
         res = None
         if self._plain_first(qp):
-            # note: XLA's default f32 dot already rides the single-pass bf16
-            # MXU on TPU; explicit bf16 casts and Precision hints both
-            # benchmarked slower, so no fast-path variant exists here
-            res = x @ w
+            # f32 operands: XLA's default f32 dot already rides the
+            # single-pass bf16 MXU (explicit casts benchmarked slower).
+            # fast mode: both operands arrive bf16 (grid-exact) and the dot
+            # reads half the bytes; accumulation stays f32
+            res = jnp.matmul(x, w, preferred_element_type=jnp.float32)
             if bias is not None:
                 res = res + bias
             if self.qc.quantize_input and qp.quant_a and self.qc.run_method.res_quantizer_flag:
                 res = sites.res(res, qp)
 
         if self._special_armed():
-            x2d = x.reshape(-1, x.shape[-1])
+            # special paths simulate in f32 (grid values: lossless upcast)
+            x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            w = w.astype(jnp.float32)
             out2d = self._special_matmul(sites, x2d, w, a_bias, w_bias)
             res = out2d.reshape(*x.shape[:-1], self.features)
             if bias is not None:
@@ -315,6 +326,7 @@ class QuantConv(_QuantOpBase):
                 rhs_dilation=self.kernel_dilation,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=g,
+                preferred_element_type=jnp.float32,
             )
             if bias is not None:
                 res = res + bias
@@ -322,6 +334,9 @@ class QuantConv(_QuantOpBase):
                 res = sites.res(res, qp)
 
         if self._special_armed():
+            # special paths simulate in f32 (grid values: lossless upcast)
+            x = x.astype(jnp.float32)
+            w = w.astype(jnp.float32)
             patches = conv_patches(
                 x, kernel_shape, self.strides, self.padding, self.kernel_dilation
             )
@@ -405,6 +420,8 @@ class BNQuantConv(QuantConv):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        if res.dtype != jnp.float32:
+            res = res.astype(jnp.float32)  # BN math in f32 (fast mode)
         if reestimate:
             # momentum=1 train-mode BN: normalize with (biased) batch stats,
             # store torch-convention unbiased variance in the running buffer
@@ -435,6 +452,8 @@ class QuantLayerNorm(_QuantOpBase):
         features = x.shape[-1]
 
         x, _ = self._quant_in(sites, x, qp)
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)  # LN stats in f32 (fast mode)
 
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)

@@ -1,7 +1,7 @@
 """Functional quantization layer: quantizers, range estimators, quant sites."""
 
 from . import estimators, qat, quantizers
-from .sites import ESTIMATE, FIXED, FP32, QuantPhase, QuantSite
+from .sites import ESTIMATE, FAST, FIXED, FP32, QuantPhase, QuantSite
 
 __all__ = [
     "estimators",
@@ -10,6 +10,7 @@ __all__ = [
     "QuantSite",
     "QuantPhase",
     "ESTIMATE",
+    "FAST",
     "FIXED",
     "FP32",
 ]

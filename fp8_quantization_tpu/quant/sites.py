@@ -46,6 +46,13 @@ class QuantPhase:
     # (weights are frozen after calibration; the reference requantizes every
     # forward, hijacker.py:117-128)
     cache_weights: bool = False
+    # bf16 fast inference: FP quant sites emit bfloat16 (exact for ExMy
+    # values with mant_width <= 7 — every n_bits<=8 format) and the layer
+    # matmuls/convs consume bf16 with f32 accumulation, halving activation
+    # HBM traffic model-wide. All non-quantized arithmetic upcasts back to
+    # f32, so values stay bit-identical to the fixed phase; only dot-product
+    # accumulation order can differ.
+    fast: bool = False
 
     @property
     def estimating(self) -> bool:
@@ -55,6 +62,7 @@ class QuantPhase:
 FP32 = QuantPhase(quant_w=False, quant_a=False)
 ESTIMATE = QuantPhase(phase="estimate")
 FIXED = QuantPhase(phase="fixed")
+FAST = QuantPhase(phase="fixed", fast=True)
 
 
 class QuantSite(nn.Module):
@@ -71,6 +79,10 @@ class QuantSite(nn.Module):
         Returns ``y`` or ``(y, bias)`` when ``with_bias`` (the approx-matmul
         path needs the derived ``custom_bias``, hijacker.py:130-137).
         """
+        # quantizer math always runs in f32; a bf16 input from an upstream
+        # fast-mode site holds grid-exact values, so the upcast is lossless
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
         per_channel = self.qcfg.per_channel
         c = x.shape[self.channel_axis] if per_channel else 1
 
@@ -98,6 +110,9 @@ class QuantSite(nn.Module):
 
         if self.qcfg.method == QMethod.fp_quantizer:
             y, bias = quantizers.fp_apply(self.qcfg, q, x, self.channel_axis)
+            if qp.fast and not qp.estimating and self.qcfg.n_bits <= 8:
+                # every ExMy value with mant_width <= 7 is exact in bf16
+                y = y.astype(jnp.bfloat16)
         else:
             y = quantizers.uniform_apply(
                 self.qcfg, q, x, self.channel_axis, qp.grad_scaling

@@ -76,3 +76,61 @@ def test_ring_long_context_row_sums(rng):
     v = jnp.ones((b, s, h, d), jnp.float32) * 3.5
     out = ring_attention(q, k, v, mesh, causal=True)
     np.testing.assert_allclose(np.asarray(out), 3.5, rtol=1e-5)
+
+
+def test_llama_ring_prefill_matches_dense(rng):
+    """QuantizedLlama(ring_spec=...) prefill == the cache-gather prefill,
+    including the KV cache it leaves behind (decode continues identically)."""
+    import dataclasses
+
+    from fp8_quantization_tpu.config import (
+        EstimatorConfig,
+        FP8Config,
+        QMethod,
+        QuantConfig,
+        RangeMethod,
+        RunMethodConfig,
+    )
+    from fp8_quantization_tpu.models.llama import (
+        KVCache,
+        LlamaSpec,
+        QuantizedLlama,
+    )
+    from fp8_quantization_tpu.quant import ESTIMATE, FIXED
+
+    qc = QuantConfig(
+        method=QMethod.fp_quantizer, per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+    )
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    mesh = make_mesh(data=8, model=1)
+
+    base = QuantizedLlama(qc=qc, spec=spec)
+    ringed = QuantizedLlama(qc=qc, spec=spec, ring_spec=(mesh, "data"))
+
+    tokens = jnp.asarray(rng.integers(0, 64, size=(2, 16)), jnp.int32)
+    cache0 = KVCache.zeros(spec, 2, spec.max_seq_len)
+    variables = base.init(jax.random.key(0), tokens, cache0, ESTIMATE)
+    _, ups = base.apply(variables, tokens, cache0, ESTIMATE,
+                        mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    logits_d, cache_d = base.apply(variables, tokens, cache0, FIXED)
+    logits_r, cache_r = ringed.apply(variables, tokens, cache0, FIXED)
+    np.testing.assert_allclose(np.asarray(logits_r), np.asarray(logits_d),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(cache_r.k, np.float32), np.asarray(cache_d.k, np.float32))
+
+    # decode one token from each cache with the plain model: identical path
+    nxt = jnp.asarray(rng.integers(0, 64, size=(2, 1)), jnp.int32)
+    ld, _ = base.apply(variables, nxt, cache_d, FIXED)
+    lr, _ = base.apply(variables, nxt, cache_r, FIXED)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(ld),
+                               rtol=1e-5, atol=1e-5)

@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--interpolation", type=str, default="bilinear")
         p.add_argument("--batch-size", type=int, default=128)
         p.add_argument("--num-workers", type=int, default=16)
+        p.add_argument("--fast-mode", action="store_true",
+                       help="evaluate in the bf16 fast inference mode "
+                            "(quant sites emit bf16; matmuls accumulate f32)")
         p.add_argument("--native-loader", action="store_true",
                        help="decode/preprocess val batches in the C++ "
                             "thread pool (runtime/libimage_loader.so)")
@@ -383,6 +386,7 @@ def run_validate(args) -> dict:
             num_est_batches=args.num_est_batches,
             quant_w=args.weight_quant,
             quant_a=args.act_quant,
+            fast=getattr(args, "fast_mode", False),
             bn_reestimate_batches=bn_batches,
         )
     finally:

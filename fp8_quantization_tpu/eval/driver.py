@@ -131,11 +131,15 @@ def evaluate(
     *,
     quant_w: bool = True,
     quant_a: bool = True,
+    fast: bool = False,
     topk: int = 5,
     model_kwargs: Optional[dict] = None,
 ) -> Dict[str, float]:
-    """Jitted eval loop with accumulator metrics (image_net.py:129-181)."""
-    qp = QuantPhase(phase="fixed", quant_w=quant_w, quant_a=quant_a)
+    """Jitted eval loop with accumulator metrics (image_net.py:129-181).
+    ``fast=True`` evaluates in the bf16 fast inference mode (QuantPhase.fast;
+    pair with weights cached via ``cache_quantized_weights(fast=True)``)."""
+    qp = QuantPhase(phase="fixed", quant_w=quant_w, quant_a=quant_a,
+                    fast=fast)
     model_kwargs = model_kwargs or {}
 
     # variables are a traced argument (not a closure) so repeated evaluate()
@@ -160,6 +164,7 @@ def validate_quantized(
     num_est_batches: int = 1,
     quant_w: bool = True,
     quant_a: bool = True,
+    fast: bool = False,
     bn_reestimate_batches: Optional[Iterable[Any]] = None,
     model_kwargs: Optional[dict] = None,
 ) -> Tuple[Dict[str, float], dict]:
@@ -178,7 +183,8 @@ def validate_quantized(
         )
     metrics = evaluate(
         model, variables, eval_batches,
-        quant_w=quant_w, quant_a=quant_a, model_kwargs=model_kwargs,
+        quant_w=quant_w, quant_a=quant_a, fast=fast,
+        model_kwargs=model_kwargs,
     )
     return metrics, variables
 

@@ -1,5 +1,6 @@
 """Analytic error model tests: self-consistency + reference parity."""
 
+import os
 import numpy as np
 import pytest
 
@@ -111,3 +112,55 @@ class TestReferenceParity:
         )
         our_val = integrate_pdf_grid_func_analyt(o, grid, "integr_interv_p_sqr_r")
         assert our_val == pytest.approx(ref_val, rel=1e-8)
+
+
+class TestInspect:
+    """analysis/inspect.py (~ hooks/hook_demo.py weight inspection)."""
+
+    def _demo_variables(self):
+        import jax
+        import jax.numpy as jnp
+
+        from fp8_quantization_tpu.config import (FP8Config, QMethod,
+                                                 QuantConfig)
+        from fp8_quantization_tpu.models.demo import QuantizedDemoModel
+        from fp8_quantization_tpu.quant import ESTIMATE
+
+        qc = QuantConfig(method=QMethod.fp_quantizer,
+                         fp8=FP8Config(set_maxval=True,
+                                       mse_include_mantissa_bits=False))
+        model = QuantizedDemoModel(qc=qc)
+        x = jnp.ones((2, 10), jnp.float32)
+        variables = model.init(jax.random.key(0), x, ESTIMATE)
+        _, ups = model.apply(variables, x, ESTIMATE,
+                             mutable=["quant", "quant_est"])
+        return {**variables, **ups}
+
+    def test_weight_summaries_and_quant_state(self):
+        from fp8_quantization_tpu.analysis.inspect import (
+            quant_state_summary,
+            weight_summaries,
+        )
+
+        variables = self._demo_variables()
+        rows = weight_summaries(variables["params"])
+        assert rows and all(
+            {"name", "shape", "min", "max", "mean", "std", "abs_max"}
+            <= set(r) for r in rows)
+        kernels = [r for r in rows if "kernel" in r["name"]]
+        assert kernels and kernels[0]["abs_max"] >= kernels[0]["max"] >= \
+            kernels[0]["mean"] >= kernels[0]["min"]
+
+        qrows = quant_state_summary(variables)
+        assert any("maxval" in r["name"] for r in qrows)
+
+    def test_weight_histograms_written(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        from fp8_quantization_tpu.analysis.inspect import weight_histograms
+
+        variables = self._demo_variables()
+        written = weight_histograms(variables["params"], str(tmp_path),
+                                    select="kernel")
+        assert written
+        for name, path in written:
+            assert os.path.exists(path) and os.path.getsize(path) > 0

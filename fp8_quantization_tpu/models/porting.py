@@ -38,6 +38,36 @@ def linear_kernel(w: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.transpose(w, (1, 0)))
 
 
+def conv_transpose_kernel(w: np.ndarray) -> jnp.ndarray:
+    """torch ConvTranspose*d (in, out, *K) -> our un-flipped (*K, I, O).
+
+    Torch's transposed conv scatters the kernel (equivalently: correlates the
+    input-dilated signal with the *spatially flipped* kernel), while
+    ``QuantConvTranspose`` correlates with the kernel as stored
+    (``transpose_kernel=False`` semantics). Flipping the spatial axes here
+    makes the two produce identical outputs.
+    """
+    n_spatial = w.ndim - 2
+    w = np.flip(w, axis=tuple(range(2, 2 + n_spatial)))
+    # (I, O, *K) -> (*K, I, O)
+    return jnp.asarray(np.transpose(w, (*range(2, 2 + n_spatial), 0, 1)))
+
+
+def conv_transpose_padding_from_torch(kernel_size, stride, padding,
+                                      output_padding=0, dilation=1):
+    """Torch ConvTranspose*d (padding, output_padding) -> explicit (lo, hi)
+    pads for ``QuantConvTranspose``: ``(d*(k-1)-p, d*(k-1)-p+op)`` per dim."""
+    def _tup(v):
+        return tuple(v) if isinstance(v, (tuple, list)) else (v,) * len(kernel_size)
+
+    s, p, op, d = map(_tup, (stride, padding, output_padding, dilation))
+    del s  # stride enters as input dilation, not padding
+    return tuple(
+        (di * (k - 1) - pi, di * (k - 1) - pi + opi)
+        for k, pi, opi, di in zip(kernel_size, p, op, d)
+    )
+
+
 def _conv_bn(state: Mapping[str, np.ndarray], conv: str, bn: str):
     """One fold_bn window -> BNQuantConv params + batch stats."""
     params = {

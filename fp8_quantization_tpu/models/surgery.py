@@ -25,7 +25,14 @@ import flax.linen as nn
 
 from ..config import QuantConfig
 from ..ops.activations import ACTIVATIONS
-from ..ops.layers import BNQuantConv, QuantConv, QuantDense, QuantLayerNorm
+from ..ops.layers import (
+    BNQuantConv,
+    BNQuantDense,
+    QuantConv,
+    QuantConvTranspose,
+    QuantDense,
+    QuantLayerNorm,
+)
 from ..quant.sites import FIXED, QuantPhase, QuantSite
 
 # --- layer specs (the "FP32 model definition") ---
@@ -38,6 +45,15 @@ class Conv:
     strides: Tuple[int, int] = (1, 1)
     padding: Union[str, Tuple[Tuple[int, int], Tuple[int, int]]] = "SAME"
     groups: int = 1
+    use_bias: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTranspose:
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Tuple[int, ...] = (1, 1)
+    padding: Union[str, Tuple[Tuple[int, int], ...]] = "SAME"
     use_bias: bool = True
 
 
@@ -95,21 +111,27 @@ def plan_sequential(specs: Sequence[Spec]):
     n = len(specs)
     while i < n:
         s = specs[i]
-        if isinstance(s, (Conv, Linear)):
+        if isinstance(s, (Conv, ConvTranspose, Linear)):
             j = i + 1
             bn = None
             if j < n and isinstance(specs[j], BatchNorm):
-                if not isinstance(s, Conv):
-                    raise TypeError("BatchNorm folding after Linear is not "
-                                    "supported; fold it into the weights")
+                if isinstance(s, ConvTranspose):
+                    raise TypeError("BatchNorm folding after ConvTranspose "
+                                    "is not supported")
                 bn = specs[j]
                 j += 1
             act = None
             if j < n and isinstance(specs[j], Act):
                 act = specs[j].name
                 j += 1
-            kind = ("bnconv" if bn is not None else
-                    "conv" if isinstance(s, Conv) else "linear")
+            if bn is not None:
+                kind = "bnconv" if isinstance(s, Conv) else "bnlinear"
+            elif isinstance(s, Conv):
+                kind = "conv"
+            elif isinstance(s, ConvTranspose):
+                kind = "convtranspose"
+            else:
+                kind = "linear"
             plan.append((kind, s, act, bn))
             i = j
         elif isinstance(s, LayerNorm):
@@ -142,7 +164,8 @@ class QuantizedSequential(nn.Module):
             pool_next = (
                 self.tie_activation_quantizers
                 and nxt is not None and isinstance(nxt[1], AvgPool)
-                and kind in ("conv", "bnconv", "linear")
+                and kind in ("conv", "bnconv", "convtranspose",
+                             "linear", "bnlinear")
             )
 
             if kind in ("conv", "bnconv"):
@@ -159,12 +182,25 @@ class QuantizedSequential(nn.Module):
                     kwargs["bn_epsilon"] = bn.epsilon
                 x = cls(**kwargs)(x, qp)
                 prev_quant_layer = idx
-            elif kind == "linear":
-                x = QuantDense(
-                    qc=self.qc, features=s.features, use_bias=s.use_bias,
+            elif kind == "convtranspose":
+                x = QuantConvTranspose(
+                    qc=self.qc, features=s.features, kernel_size=s.kernel_size,
+                    strides=s.strides, padding=s.padding, use_bias=s.use_bias,
                     activation=act, quantize_output=not pool_next,
                     name=f"layers_{idx}",
                 )(x, qp)
+                prev_quant_layer = idx
+            elif kind in ("linear", "bnlinear"):
+                lcls = BNQuantDense if kind == "bnlinear" else QuantDense
+                lkw = dict(
+                    qc=self.qc, features=s.features,
+                    use_bias=(False if kind == "bnlinear" else s.use_bias),
+                    activation=act, quantize_output=not pool_next,
+                    name=f"layers_{idx}",
+                )
+                if kind == "bnlinear":
+                    lkw["bn_epsilon"] = bn.epsilon
+                x = lcls(**lkw)(x, qp)
                 prev_quant_layer = idx
             elif kind == "layernorm":
                 x = QuantLayerNorm(qc=self.qc, epsilon=s.epsilon,

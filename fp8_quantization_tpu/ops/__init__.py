@@ -3,12 +3,17 @@
 from .activations import ACTIVATIONS, get_activation
 from .layers import (
     BNQuantConv,
+    BNQuantDense,
     QuantConv,
+    QuantConv1d,
+    QuantConvTranspose,
+    QuantConvTranspose1d,
     QuantDense,
     QuantizedActWrapper,
     QuantLayerNorm,
     approx_matmul_2d,
     conv_patches,
+    conv_transpose_padding,
     default_fp_bias,
     qama_matmul_2d,
 )
@@ -18,11 +23,16 @@ __all__ = [
     "get_activation",
     "QuantDense",
     "QuantConv",
+    "QuantConv1d",
+    "QuantConvTranspose",
+    "QuantConvTranspose1d",
     "BNQuantConv",
+    "BNQuantDense",
     "QuantLayerNorm",
     "QuantizedActWrapper",
     "approx_matmul_2d",
     "qama_matmul_2d",
     "conv_patches",
+    "conv_transpose_padding",
     "default_fp_bias",
 ]

@@ -26,6 +26,7 @@ same interface.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -220,6 +221,10 @@ class QuantDense(_QuantOpBase):
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED):
         sites = _Sites(self)
+        res = self._dense_body(sites, x, qp)
+        return self._tail(sites, res, qp)
+
+    def _dense_body(self, sites: _Sites, x, qp: QuantPhase):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )
@@ -253,46 +258,56 @@ class QuantDense(_QuantOpBase):
             if bias is not None:
                 res = res + bias
 
-        return self._tail(sites, res, qp)
+        return res
 
 
-def conv_patches(x, kernel_shape, strides, padding, dilation):
+def _conv_dimension_numbers(n_spatial: int):
+    """NHWC-style dimension-number strings for 1-D/2-D/3-D convs."""
+    letters = "DHW"[3 - n_spatial:]
+    return ("N" + letters + "C", letters + "IO", "N" + letters + "C")
+
+
+def conv_patches(x, kernel_shape, strides, padding, dilation,
+                 input_dilation=None):
     """im2col via XLA (replaces the python-loop im2col,
-    approx_calculation.py:552-575). Returns (B, OH, OW, KH*KW*I) patches whose
-    last-dim ordering matches a (KH, KW, I, O) kernel reshaped to
-    ``(KH*KW*I, O)``."""
-    kh, kw, _, _ = kernel_shape
+    approx_calculation.py:552-575). Any spatial rank. Returns
+    (B, *out_spatial, prod(K)*I) patches whose last-dim ordering matches a
+    (*K, I, O) kernel reshaped to ``(prod(K)*I, O)``. ``input_dilation``
+    dilates the input (the transposed-conv formulation)."""
+    spatial = tuple(kernel_shape[:-2])
     in_ch = x.shape[-1]
     patches = lax.conv_general_dilated_patches(
         x,
-        filter_shape=(kh, kw),
+        filter_shape=spatial,
         window_strides=strides,
         padding=padding,
+        lhs_dilation=input_dilation,
         rhs_dilation=dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=_conv_dimension_numbers(len(spatial)),
     )
-    # patches features are ordered (I, KH, KW); reorder to (KH, KW, I)
-    b, oh, ow, _ = patches.shape
-    patches = patches.reshape(b, oh, ow, in_ch, kh * kw)
-    patches = jnp.moveaxis(patches, 3, 4).reshape(b, oh, ow, kh * kw * in_ch)
+    # patches features are ordered (I, *K); reorder to (*K, I)
+    lead = patches.shape[:-1]
+    k_elems = math.prod(spatial)
+    patches = patches.reshape(*lead, in_ch, k_elems)
+    patches = jnp.moveaxis(patches, -2, -1).reshape(*lead, k_elems * in_ch)
     return patches
 
 
 class QuantConv(_QuantOpBase):
-    """Quantized 2-D convolution (~ ``QuantConv``/``BNQConv`` conv part,
-    autoquant_utils.py:20-122).
+    """Quantized convolution, any spatial rank (~ ``QuantConv1d``/``QuantConv``/
+    ``BNQConv`` conv part, autoquant_utils.py:20-122).
 
-    NHWC inputs, HWIO kernels; per-channel weight quantization along O.
-    Grouped/depthwise via ``feature_group_count``; the special paths run the
-    groups as one batched (vmapped) matmul instead of the reference's python
-    loop (approx_calculation.py:691-708).
+    N..C inputs (NWC/NHWC/NDHWC), (*K, I, O) kernels; per-channel weight
+    quantization along O. Grouped/depthwise via ``feature_group_count``; the
+    special paths run the groups as one batched (vmapped) matmul instead of
+    the reference's python loop (approx_calculation.py:691-708).
     """
 
     features: int = 0
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Optional[Tuple[int, ...]] = None
     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
-    kernel_dilation: Tuple[int, int] = (1, 1)
+    kernel_dilation: Optional[Tuple[int, ...]] = None
     feature_group_count: int = 1
     use_bias: bool = True
 
@@ -302,11 +317,26 @@ class QuantConv(_QuantOpBase):
         res = self._conv_body(sites, x, qp)
         return self._tail(sites, res, qp)
 
+    def _spatial_defaults(self):
+        n = len(self.kernel_size)
+        ones = (1,) * n
+        return (tuple(self.strides) if self.strides is not None else ones,
+                tuple(self.kernel_dilation) if self.kernel_dilation is not None
+                else ones)
+
+    def _conv_plan(self, x):
+        """(window_strides, padding, input_dilation) for the underlying
+        correlation. Overridden by ``QuantConvTranspose``."""
+        strides, _ = self._spatial_defaults()
+        return strides, self.padding, None
+
     def _conv_body(self, sites: _Sites, x, qp: QuantPhase):
         in_ch = x.shape[-1]
-        kh, kw = self.kernel_size
+        ksize = tuple(self.kernel_size)
+        _, dilation = self._spatial_defaults()
+        window_strides, padding, input_dilation = self._conv_plan(x)
         g = self.feature_group_count
-        kernel_shape = (kh, kw, in_ch // g, self.features)
+        kernel_shape = (*ksize, in_ch // g, self.features)
         kernel = self.param("kernel", nn.initializers.lecun_normal(), kernel_shape)
         bias = (
             self.param("bias", nn.initializers.zeros_init(), (self.features,))
@@ -321,10 +351,11 @@ class QuantConv(_QuantOpBase):
         if self._plain_first(qp):
             res = lax.conv_general_dilated(
                 x, w,
-                window_strides=self.strides,
-                padding=self.padding,
-                rhs_dilation=self.kernel_dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                window_strides=window_strides,
+                padding=padding,
+                lhs_dilation=input_dilation,
+                rhs_dilation=dilation,
+                dimension_numbers=_conv_dimension_numbers(len(ksize)),
                 feature_group_count=g,
                 preferred_element_type=jnp.float32,
             )
@@ -338,17 +369,19 @@ class QuantConv(_QuantOpBase):
             x = x.astype(jnp.float32)
             w = w.astype(jnp.float32)
             patches = conv_patches(
-                x, kernel_shape, self.strides, self.padding, self.kernel_dilation
+                x, kernel_shape, window_strides, padding, dilation,
+                input_dilation=input_dilation,
             )
-            b_sp, oh, ow, _ = patches.shape
-            m = b_sp * oh * ow
+            lead = patches.shape[:-1]
+            m = math.prod(lead)
+            k_elems = math.prod(ksize)
             in_per_group = in_ch // g
-            kg = kh * kw * in_per_group
+            kg = k_elems * in_per_group
             og = self.features // g
-            # patches last dim ordered (KH, KW, I); I splits into (G, I/g)
-            pg = patches.reshape(m, kh * kw, g, in_per_group)
+            # patches last dim ordered (*K, I); I splits into (G, I/g)
+            pg = patches.reshape(m, k_elems, g, in_per_group)
             pg = jnp.moveaxis(pg, 2, 0).reshape(g, m, kg)
-            wg = w.reshape(kh * kw, in_per_group, g, og)
+            wg = w.reshape(k_elems, in_per_group, g, og)
             wg = jnp.moveaxis(wg, 2, 0).reshape(g, kg, og)
             if w_bias is None:
                 wb_g = jnp.zeros((g, og))
@@ -385,10 +418,95 @@ class QuantConv(_QuantOpBase):
                     out_g = jax.vmap(one_group)(pg, wg, wb_g)
 
             out = jnp.moveaxis(out_g, 0, 1).reshape(m, self.features)
-            res = out.reshape(b_sp, oh, ow, self.features)
+            res = out.reshape(*lead, self.features)
             if bias is not None:
                 res = res + bias
         return res
+
+
+class QuantConv1d(QuantConv):
+    """Quantized 1-D convolution (~ ``QuantConv1d``, autoquant_utils.py:20-30).
+    NWC inputs, (KW, I, O) kernels; everything else as ``QuantConv``."""
+
+    kernel_size: Tuple[int, ...] = (3,)
+
+
+def conv_transpose_padding(k: int, s: int, d: int, padding: str):
+    """Per-dim explicit padding that makes an input-dilated correlation equal
+    ``lax.conv_transpose`` with string padding (same formula as XLA's
+    ``_conv_transpose_padding``; ``d`` = kernel dilation)."""
+    k = d * (k - 1) + 1  # effective kernel size
+    if padding == "SAME":
+        pad_len = k + s - 2
+        pad_a = k - 1 if s > k - 1 else int(math.ceil(pad_len / 2))
+    elif padding == "VALID":
+        pad_len = k + s - 2 + max(k - s, 0)
+        pad_a = k - 1
+    else:
+        raise ValueError(f"unsupported transpose padding {padding!r}")
+    return (pad_a, pad_len - pad_a)
+
+
+class QuantConvTranspose(_QuantOpBase):
+    """Quantized transposed convolution, any spatial rank
+    (~ ``QuantConvTranspose(1d)``, autoquant_utils.py:46-87).
+
+    Implemented as the equivalent input-dilated correlation (what
+    ``lax.conv_transpose`` lowers to), so the plain path, the approx path and
+    the quantize-after-mult-and-add path all reuse ``QuantConv``'s machinery
+    with ``input_dilation=strides``. Kernels are (*K, I, O) with the kernel
+    applied un-flipped (``transpose_kernel=False`` semantics, matching
+    ``flax.linen.ConvTranspose``); torch ``ConvTranspose*d`` weights are
+    converted by ``models/porting.py::port_conv_transpose_kernel``.
+
+    Per-channel weight quantization runs along the *output*-channel axis. The
+    reference needs a transpose trick for this because torch stores transpose
+    weights (in, out, *K) with out-channels on dim 1
+    (autoquant_utils.py:46-58); in the (*K, I, O) layout the output axis is
+    already the quantizer's channel axis, so no trick is required.
+
+    ``padding`` may be "SAME"/"VALID" (flax/lax convention) or explicit
+    (lo, hi) pairs on the *underlying dilated correlation* — torch's
+    ``padding``/``output_padding`` map to ``(d*(k-1)-p, d*(k-1)-p+op)``.
+    """
+
+    features: int = 0
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Optional[Tuple[int, ...]] = None
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    kernel_dilation: Optional[Tuple[int, ...]] = None
+    use_bias: bool = True
+
+    # reuse QuantConv's conv machinery (grouped transpose convs are not in
+    # the reference's surgery maps; keep g=1)
+    feature_group_count: int = 1
+    _spatial_defaults = QuantConv._spatial_defaults
+    _conv_body = QuantConv._conv_body
+
+    def _conv_plan(self, x):
+        strides, dilation = self._spatial_defaults()
+        ones = (1,) * len(self.kernel_size)
+        if isinstance(self.padding, str):
+            pads = tuple(
+                conv_transpose_padding(k, s, d, self.padding)
+                for k, s, d in zip(self.kernel_size, strides, dilation)
+            )
+        else:
+            pads = tuple(tuple(p) for p in self.padding)
+        return ones, pads, strides
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        sites = _Sites(self)
+        res = self._conv_body(sites, x, qp)
+        return self._tail(sites, res, qp)
+
+
+class QuantConvTranspose1d(QuantConvTranspose):
+    """1-D transposed convolution (~ ``QuantConvTranspose1d``,
+    autoquant_utils.py:61-73)."""
+
+    kernel_size: Tuple[int, ...] = (3,)
 
 
 class BNQuantConv(QuantConv):
@@ -407,34 +525,57 @@ class BNQuantConv(QuantConv):
 
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED):
-        reestimate = qp.reestimate_bn
         sites = _Sites(self)
         res = self._conv_body(sites, x, qp)
+        res = _unfolded_bn(self, res, qp, self.bn_epsilon)
+        return self._tail(sites, res, qp)
 
-        gamma = self.param("gamma", nn.initializers.ones_init(), (self.features,))
-        beta = self.param("beta", nn.initializers.zeros_init(), (self.features,))
-        running_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
-        )
-        running_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
-        )
 
-        if res.dtype != jnp.float32:
-            res = res.astype(jnp.float32)  # BN math in f32 (fast mode)
-        if reestimate:
-            # momentum=1 train-mode BN: normalize with (biased) batch stats,
-            # store torch-convention unbiased variance in the running buffer
-            mean = jnp.mean(res, axis=(0, 1, 2))
-            var = jnp.var(res, axis=(0, 1, 2))
-            n = res.shape[0] * res.shape[1] * res.shape[2]
-            if self.is_mutable_collection("batch_stats"):
-                running_mean.value = mean
-                running_var.value = var * (n / max(n - 1, 1))
-        else:
-            mean, var = running_mean.value, running_var.value
-        res = (res - mean) * lax.rsqrt(var + self.bn_epsilon) * gamma + beta
+def _unfolded_bn(module: _QuantOpBase, res, qp: QuantPhase, epsilon: float):
+    """Unfolded FP32 BN over all-but-channel axes (BNFusedHijacker's
+    ``F.batch_norm``, quantized_folded_bn.py:66-75); shared by the conv and
+    linear BN layers. ``qp.reestimate_bn`` recomputes running stats from the
+    batch (momentum=1 train-mode BN, utils/qat_utils.py:48-108)."""
+    features = module.features
+    gamma = module.param("gamma", nn.initializers.ones_init(), (features,))
+    beta = module.param("beta", nn.initializers.zeros_init(), (features,))
+    running_mean = module.variable(
+        "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+    )
+    running_var = module.variable(
+        "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+    )
 
+    if res.dtype != jnp.float32:
+        res = res.astype(jnp.float32)  # BN math in f32 (fast mode)
+    if qp.reestimate_bn:
+        # momentum=1 train-mode BN: normalize with (biased) batch stats,
+        # store torch-convention unbiased variance in the running buffer
+        axes = tuple(range(res.ndim - 1))
+        mean = jnp.mean(res, axis=axes)
+        var = jnp.var(res, axis=axes)
+        n = math.prod(res.shape[:-1])
+        if module.is_mutable_collection("batch_stats"):
+            running_mean.value = mean
+            running_var.value = var * (n / max(n - 1, 1))
+    else:
+        mean, var = running_mean.value, running_var.value
+    return (res - mean) * lax.rsqrt(var + epsilon) * gamma + beta
+
+
+class BNQuantDense(QuantDense):
+    """Quantized linear + unfolded batch norm (~ ``BNQLinear``,
+    autoquant_utils.py:118-122 via ``BNFusedHijacker``): FP32 BatchNorm1d
+    stats applied after the quantized matmul (and any res-quant / special
+    rerun), before the fused activation."""
+
+    bn_epsilon: float = 1e-5  # torch BatchNorm1d default
+
+    @nn.compact
+    def __call__(self, x, qp: QuantPhase = FIXED):
+        sites = _Sites(self)
+        res = self._dense_body(sites, x, qp)
+        res = _unfolded_bn(self, res, qp, self.bn_epsilon)
         return self._tail(sites, res, qp)
 
 

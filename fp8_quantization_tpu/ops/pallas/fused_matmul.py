@@ -103,10 +103,14 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, pad)
 
 
+def _round_up(v: int, mult: int) -> int:
+    return -(-v // mult) * mult
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("quantize_x", "requantize_out", "out_dtype",
-                     "bm", "bn", "bk"),
+                     "bm", "bn", "bk", "vmem_limit_mb"),
 )
 def fused_quant_matmul(
     x,
@@ -117,9 +121,10 @@ def fused_quant_matmul(
     quantize_x: bool = True,
     requantize_out: bool = False,
     out_dtype=jnp.float32,
-    bm: int = 256,
-    bn: int = 256,
+    bm: int = 1024,
+    bn: int = 2048,
     bk: int = 512,
+    vmem_limit_mb: int = 100,
 ):
     """``requant(quantize(x) @ w_q)`` as one fused TPU kernel.
 
@@ -163,6 +168,15 @@ def fused_quant_matmul(
     amax, abias, amant, asign = scalars(act_params)
     rmax, rbias, rmant, rsign = scalars(res_params)
 
+    # Clamp tiles to the (128-aligned) problem so small matmuls don't pad to
+    # the large defaults. Defaults were swept on a v5e at 4096^3: the old
+    # (256, 256, 512) tiles were HBM-bound (x re-read N/bn = 16 times);
+    # (1024, 2048, 512) with a raised Mosaic VMEM budget measures
+    # ~155-168 TF/s vs ~110-140 — see scripts/sweep_fused_tiles.py.
+    bm = min(bm, _round_up(m, 128))
+    bn = min(bn, _round_up(n, 128))
+    bk = min(bk, _round_up(k, 128))
+
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
     wp = _pad_to(_pad_to(w_q, bk, 0), bn, 1)
     mp, kp = xp.shape
@@ -195,11 +209,15 @@ def fused_quant_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
-            bytes_accessed=mp * kp * 4 + kp * np_ * 2 + mp * np_ * 4,
+            bytes_accessed=(mp * kp * x.dtype.itemsize + kp * np_ * 2
+                            + mp * np_ * jnp.dtype(out_dtype).itemsize),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Mosaic's default VMEM budget rejects the swept-optimal tiles;
+            # the v5e has headroom for them (measured, not OOM in practice)
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
     )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xp, wp)

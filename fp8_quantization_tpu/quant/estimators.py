@@ -65,8 +65,9 @@ def line_search_ranges(
     num_candidates: int = 1000,
     range_margin: float = 0.5,
     apply_fn=None,
+    opt_method=None,
 ):
-    """1-D symmetric grid line search for clipping thresholds.
+    """1-D symmetric line search for clipping thresholds.
 
     ~ the reference ``LineSearchEstimator``'s ``_perform_1D_search``
     (range_estimators.py:236-256) / ``estimate_range_line_search``
@@ -74,14 +75,28 @@ def line_search_ranges(
     thresholds, quantize with each, pick the MSE argmin. One-sided when the
     data is non-negative (:263-264).
 
+    ``opt_method`` selects grid (default) or golden-section search. The
+    reference's ``OptMethod.golden_section`` branch calls methods that are
+    never defined (range_estimators.py:200-205 — it would crash); here it is
+    a working fixed-iteration golden-section bracket shrink on the threshold
+    (the MSE-vs-threshold curve is near-unimodal for the distributions the
+    analytic CLI targets).
+
     Args:
       x: sample tensor.
       qcfg: quantizer to evaluate candidates with.
       apply_fn: optional ``f(x, x_min, x_max) -> x_q`` override.
+      opt_method: ``config.OptMethod`` or its string value.
 
     Returns (x_min, x_max) scalars.
     """
+    from ..config import OptMethod
     from . import quantizers
+
+    if opt_method is None:
+        opt_method = OptMethod.grid
+    if isinstance(opt_method, str):
+        opt_method = OptMethod(opt_method)
 
     x = jnp.asarray(x, jnp.float32)
     one_sided = jnp.all(x >= 0)
@@ -94,16 +109,28 @@ def line_search_ranges(
             st = quantizers.set_quant_range(qcfg, st, x_min, x_max)
             return quantizers.apply(qcfg, st, x)
 
-    def loss_for(idx):
-        pos = step * idx
+    def loss_for(pos):
         neg = jnp.where(one_sided, 0.0, -pos)
         y = apply_fn(x, neg, pos)
         return jnp.sum((x - y) ** 2)
 
-    idxs = jnp.arange(1, num_candidates + 1, dtype=jnp.float32)
-    losses = jax.vmap(loss_for)(idxs)
-    best = idxs[jnp.argmin(losses)]
-    x_max = step * best
+    if opt_method == OptMethod.golden_section:
+        invphi = (5.0 ** 0.5 - 1.0) / 2.0
+
+        def body(_, bracket):
+            a, b = bracket
+            c = b - invphi * (b - a)
+            d = a + invphi * (b - a)
+            shrink_right = loss_for(c) < loss_for(d)
+            return (jnp.where(shrink_right, a, c),
+                    jnp.where(shrink_right, d, b))
+
+        a, b = jax.lax.fori_loop(0, 40, body, (step, max_pos_thr))
+        x_max = (a + b) / 2.0
+    else:
+        idxs = jnp.arange(1, num_candidates + 1, dtype=jnp.float32)
+        losses = jax.vmap(lambda i: loss_for(step * i))(idxs)
+        x_max = step * idxs[jnp.argmin(losses)]
     x_min = jnp.where(one_sided, 0.0, -x_max)
     return x_min, x_max
 

@@ -232,3 +232,35 @@ class TestLineSearch:
         qcfg = QuantizerConfig(method=QMethod.asymmetric_uniform, n_bits=8)
         x_min, x_max = line_search_ranges(x, qcfg, num_candidates=100)
         assert float(x_min) == 0.0
+
+    def test_golden_section_close_to_grid(self, rng):
+        """Golden-section converges to (about) the grid-search optimum.
+
+        The reference's OptMethod.golden_section branch calls undefined
+        methods and would crash (range_estimators.py:200-205); ours works.
+        """
+        import numpy as np
+
+        from fp8_quantization_tpu.config import (
+            OptMethod, QMethod, QuantizerConfig,
+        )
+        from fp8_quantization_tpu.quant import quantizers
+        from fp8_quantization_tpu.quant.estimators import line_search_ranges
+
+        x = jnp.asarray((rng.standard_t(3, size=4096)).astype(np.float32))
+        qcfg = QuantizerConfig(method=QMethod.symmetric_uniform, n_bits=4)
+        _, grid_max = line_search_ranges(x, qcfg, num_candidates=1000)
+        gs_min, gs_max = line_search_ranges(
+            x, qcfg, opt_method=OptMethod.golden_section)
+        assert float(gs_min) == -float(gs_max)
+
+        def mse(hi):
+            st = quantizers.set_quant_range(qcfg, quantizers.init(qcfg),
+                                            -hi, hi)
+            return float(jnp.mean((x - quantizers.apply(qcfg, st, x)) ** 2))
+
+        # not necessarily the same local argmin, but comparable quality
+        assert mse(float(gs_max)) <= 1.5 * mse(float(grid_max))
+        # string form accepted too
+        _, gs2 = line_search_ranges(x, qcfg, opt_method="golden_section")
+        assert float(gs2) == float(gs_max)

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import QuantConfig
 from ..ops.layers import QuantDense
@@ -103,17 +104,21 @@ class QuantLlamaBlock(nn.Module):
     ring_spec: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x, k_cache, v_cache, positions, length,
+    def __call__(self, x, k_cache, v_cache, layer_idx, positions, length,
                  qp: QuantPhase = FIXED, page_table=None):
         """One decoder layer over a token chunk.
 
         x: (B, T, hidden); positions: (B, T) absolute positions of the chunk;
-        length: (B,) cache fill before this chunk. Two cache layouts:
+        length: (B,) cache fill before this chunk. The FULL stacked caches
+        are threaded through every layer and written with per-token scatters
+        at ``layer_idx`` — never copied wholesale (a per-layer slab copy +
+        re-stack would move the entire cache through HBM on every decode
+        step, ~2x the step's unavoidable traffic). Two cache layouts:
 
-        * dense (``page_table is None``): k_cache/v_cache are (B, S, H_kv, D)
-          bf16 slabs indexed by absolute position;
-        * paged: k_cache/v_cache are (N_pages, page_size, H_kv, D) bf16 page
-          pools and ``page_table`` (B, max_pages) int32 maps each slot's
+        * dense (``page_table is None``): k_cache/v_cache are
+          (L, B, S, H_kv, D) bf16 slabs indexed by absolute position;
+        * paged: k_cache/v_cache are (L, N_pages, page_size, H_kv, D) bf16
+          page pools and ``page_table`` (B, max_pages) int32 maps each slot's
           logical page to a physical page (see models/paged_kv.py).
 
         Returns (y, new_k_cache, new_v_cache).
@@ -147,32 +152,41 @@ class QuantLlamaBlock(nn.Module):
                           name="v_cache_quantizer")(v, qp)
 
         if page_table is None:
-            # dense: write chunk at [length, length+t) per slot
-            def write(cache, new):
-                def one(cache_b, new_b, start):
-                    return jax.lax.dynamic_update_slice(
-                        cache_b, new_b.astype(jnp.bfloat16), (start, 0, 0)
-                    )
-                return jax.vmap(one)(cache, new, length)
+            # dense: write the chunk at [length, length+t) per slot into this
+            # layer's slab of the full cache with contiguous
+            # dynamic_update_slice ops (in-place when the cache buffer is
+            # loop-carried or donated; a gather-scatter here measured ~25%
+            # slower at prefill chunk sizes)
+            k16 = k.astype(jnp.bfloat16)
+            v16 = v.astype(jnp.bfloat16)
 
-            k_cache = write(k_cache, k)
-            v_cache = write(v_cache, v)
-            s_max = k_cache.shape[1]
-            kf = k_cache.astype(jnp.float32)
-            vf = v_cache.astype(jnp.float32)
+            def write_slot(bi, caches):
+                kc, vc = caches
+                start = (layer_idx, bi, length[bi], 0, 0)
+                kc = lax.dynamic_update_slice(kc, k16[bi][None, None], start)
+                vc = lax.dynamic_update_slice(vc, v16[bi][None, None], start)
+                return kc, vc
+
+            k_cache, v_cache = lax.fori_loop(
+                0, b, write_slot, (k_cache, v_cache), unroll=True)
+            s_max = k_cache.shape[2]
+            kf = k_cache[layer_idx].astype(jnp.float32)
+            vf = v_cache[layer_idx].astype(jnp.float32)
         else:
             # paged: scatter the chunk into physical pages, gather the slot's
             # logical view back for attention. Unallocated table entries point
             # at the reserved trash page 0, so padded/idle writes are inert.
-            page = k_cache.shape[1]
+            page = k_cache.shape[2]
             pp = jnp.take_along_axis(page_table, positions // page, axis=1)
             off = positions % page
-            k_cache = k_cache.at[pp, off].set(k.astype(jnp.bfloat16))
-            v_cache = v_cache.at[pp, off].set(v.astype(jnp.bfloat16))
+            k_cache = k_cache.at[layer_idx, pp, off].set(
+                k.astype(jnp.bfloat16))
+            v_cache = v_cache.at[layer_idx, pp, off].set(
+                v.astype(jnp.bfloat16))
             s_max = page_table.shape[1] * page
-            kf = k_cache[page_table].reshape(
+            kf = k_cache[layer_idx][page_table].reshape(
                 b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
-            vf = v_cache[page_table].reshape(
+            vf = v_cache[layer_idx][page_table].reshape(
                 b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
 
         if self.ring_spec is not None and t > 1:
@@ -251,16 +265,13 @@ class QuantizedLlama(nn.Module):
                            (s.vocab_size, s.hidden_size))
         x = embed[tokens]
 
-        new_k, new_v = [], []
+        k_full = cache.k_pages if paged else cache.k
+        v_full = cache.v_pages if paged else cache.v
         for i in range(s.num_layers):
-            k_i = cache.k_pages[i] if paged else cache.k[i]
-            v_i = cache.v_pages[i] if paged else cache.v[i]
-            x, k_l, v_l = QuantLlamaBlock(
+            x, k_full, v_full = QuantLlamaBlock(
                 qc=self.qc, spec=s, ring_spec=self.ring_spec,
                 name=f"layer_{i}"
-            )(x, k_i, v_i, positions, cache.length, qp, page_table)
-            new_k.append(k_l)
-            new_v.append(v_l)
+            )(x, k_full, v_full, i, positions, cache.length, qp, page_table)
 
         gamma = self.param("final_norm", nn.initializers.ones_init(),
                            (s.hidden_size,))
@@ -270,12 +281,9 @@ class QuantizedLlama(nn.Module):
 
         if paged:
             cache = type(cache)(
-                k_pages=jnp.stack(new_k), v_pages=jnp.stack(new_v),
+                k_pages=k_full, v_pages=v_full,
                 page_table=page_table, length=cache.length + t,
             )
         else:
-            cache = KVCache(
-                k=jnp.stack(new_k), v=jnp.stack(new_v),
-                length=cache.length + t,
-            )
+            cache = KVCache(k=k_full, v=v_full, length=cache.length + t)
         return logits, cache

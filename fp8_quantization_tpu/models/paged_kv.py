@@ -119,7 +119,12 @@ class PagedBatcher:
         self.free_slots: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
 
-        @jax.jit
+        import functools
+
+        # donate the cache: the page pools are updated in place by the decode
+        # scatter instead of being copied every step (page_table/length are
+        # rebuilt from host state each step, so only the pools matter)
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(variables, tokens, cache):
             logits, cache = model.apply(variables, tokens, cache, qp)
             return jnp.argmax(logits[:, -1, :], axis=-1), cache

@@ -44,10 +44,21 @@ class ContinuousBatcher:
         self.free: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
 
-        @jax.jit
-        def decode_step(variables, tokens, cache):
-            logits, cache = model.apply(variables, tokens, cache, qp)
-            return jnp.argmax(logits[:, -1, :], axis=-1), cache
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode_step(variables, tokens, cache, keep):
+            logits, new_cache = model.apply(variables, tokens, cache, qp)
+            # idle slots run the step too (fixed-shape SPMD program) but must
+            # not advance: their cache writes land at their frozen length and
+            # are dead data (re-admission prefills from position 0), so only
+            # ``length`` needs masking. Keeping the mask inside the jit lets
+            # the cache buffer be donated — the decode step updates the KV
+            # cache in place instead of copying it.
+            t = tokens.shape[1]
+            length = jnp.where(keep, new_cache.length, new_cache.length - t)
+            new_cache = new_cache._replace(length=length)
+            return jnp.argmax(logits[:, -1, :], axis=-1), new_cache
 
         self._decode = decode_step
         self._prefill_cache = {}
@@ -109,19 +120,11 @@ class ContinuousBatcher:
         for s in live:
             tokens[s, 0] = self.active[s]["generated"][-1]
 
-        next_tokens, new_cache = self._decode(
-            self.variables, jnp.asarray(tokens), self.cache
-        )
-        # keep advanced state only for live slots
         keep = np.zeros((self.slots,), bool)
         keep[live] = True
-        keep_d = jnp.asarray(keep)
-        self.cache = KVCache(
-            k=jnp.where(keep_d[None, :, None, None, None], new_cache.k,
-                        self.cache.k),
-            v=jnp.where(keep_d[None, :, None, None, None], new_cache.v,
-                        self.cache.v),
-            length=jnp.where(keep_d, new_cache.length, self.cache.length),
+        next_tokens, self.cache = self._decode(
+            self.variables, jnp.asarray(tokens), self.cache,
+            jnp.asarray(keep),
         )
 
         out: Dict[int, int] = {}

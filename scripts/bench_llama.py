@@ -113,9 +113,10 @@ def main():
                        jnp.int32)
 
     def prefill_chain(n, variables, base):
-        cache = KVCache.zeros(spec, 1, t_len)
-
         def body(i, acc):
+            # fresh cache per iteration (inside the body, so the buffer is
+            # dead after the forward and the KV writes stay in place)
+            cache = KVCache.zeros(spec, 1, t_len)
             toks = (base + i) % spec.vocab_size
             logits, _ = model.apply(variables, toks, cache, fast)
             return acc + logits[0, -1].sum()

@@ -31,16 +31,44 @@ class ContinuousBatcher:
 
     def __init__(self, model, variables, spec: LlamaSpec, *, slots: int = 4,
                  max_seq: Optional[int] = None, eos_token: int = -1,
-                 qp: QuantPhase = FIXED):
+                 qp: QuantPhase = FIXED, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with (data, model) axes —
+        SURVEY §7 build order #8 ("continuous batching across hosts"): slots
+        shard over ``data``, weights/per-channel quant params over ``model``
+        (parallel/sharding.py rules), and every decode step stays ONE
+        fixed-shape GSPMD program over the whole mesh. Requires
+        ``slots % data == 0``."""
         self.model = model
-        self.variables = variables
         self.spec = spec
         self.slots = slots
         self.max_seq = max_seq or spec.max_seq_len
         self.eos_token = eos_token
         self.qp = qp
+        self.mesh = mesh
 
-        self.cache = KVCache.zeros(spec, slots, self.max_seq)
+        cache = KVCache.zeros(spec, slots, self.max_seq)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import shard_variables
+
+            if slots % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"slots ({slots}) must divide over the data axis "
+                    f"({mesh.shape['data']})"
+                )
+            variables = shard_variables(variables, mesh)
+            kv_spec = P(None, "data", None,
+                        "model" if spec.num_kv_heads % mesh.shape["model"] == 0
+                        else None, None)
+            cache = KVCache(
+                k=jax.device_put(cache.k, NamedSharding(mesh, kv_spec)),
+                v=jax.device_put(cache.v, NamedSharding(mesh, kv_spec)),
+                length=jax.device_put(cache.length,
+                                      NamedSharding(mesh, P("data"))),
+            )
+        self.variables = variables
+        self.cache = cache
         self.free: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
 

@@ -119,6 +119,32 @@ def test_continuous_batcher(calibrated, rng):
     assert len(batcher.retire(s2)) == 3
 
 
+def test_continuous_batching_sharded_matches_single_device(calibrated):
+    """Mesh-sharded continuous batching (slots over data, weights/KV heads
+    over model) generates the same tokens as the single-device batcher —
+    SURVEY §7 build order #8 ("continuous batching across hosts")."""
+    from fp8_quantization_tpu.parallel import make_mesh
+
+    model, variables = calibrated
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9], [13, 14], [20]]
+
+    plain = ContinuousBatcher(model, variables, SPEC, slots=4)
+    slots = [plain.admit(p, max_new_tokens=5) for p in prompts]
+    plain.run_to_completion()
+    want = [plain.retire(s) for s in slots]
+
+    mesh = make_mesh(data=2, model=2)
+    sharded = ContinuousBatcher(model, variables, SPEC, slots=4, mesh=mesh)
+    slots = [sharded.admit(p, max_new_tokens=5) for p in prompts]
+    sharded.run_to_completion()
+    got = [sharded.retire(s) for s in slots]
+    assert got == want
+
+    with pytest.raises(ValueError):
+        ContinuousBatcher(model, variables, SPEC, slots=3,
+                          mesh=make_mesh(data=2, model=2))
+
+
 def test_fp32_parity_vs_hf(rng):
     """Ported HF Llama weights must reproduce HF logits (validates RoPE /
     GQA / RMSNorm details)."""

@@ -242,7 +242,8 @@ def _pad(x, mult, axis):
     jax.jit,
     static_argnames=("expo_width", "mant_width", "with_comp", "dnsmp_factor",
                      "with_approx", "with_s2nn2s_opt", "quant_btw_mult_accu",
-                     "golden_clip_of", "bm", "bn", "bk", "kc"),
+                     "golden_clip_of", "bm", "bn", "bk", "kc",
+                     "vmem_limit_mb"),
 )
 def approx_matmul_pallas(
     a,
@@ -263,6 +264,7 @@ def approx_matmul_pallas(
     bn: Optional[int] = None,
     bk: Optional[int] = None,
     kc: int = 4,
+    vmem_limit_mb: Optional[int] = None,
 ):
     """Approx matmul ``a @ b`` with v9 float-domain simulation semantics.
 
@@ -341,6 +343,8 @@ def approx_matmul_pallas(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(vmem_limit_mb * 1024 * 1024
+                              if vmem_limit_mb else None),
         ),
         interpret=interpret,
     )(bias_a, bias_r, at, bp, bias_bp, lut)

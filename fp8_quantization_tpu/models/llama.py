@@ -105,8 +105,16 @@ class QuantLlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, k_cache, v_cache, layer_idx, positions, length,
-                 qp: QuantPhase = FIXED, page_table=None):
+                 qp: QuantPhase = FIXED, page_table=None,
+                 chunk_attention: bool = False):
         """One decoder layer over a token chunk.
+
+        ``chunk_attention`` (static): attend over the chunk's own K/V instead
+        of the padded cache slab — valid only for empty-cache prefill
+        (length == 0), where it is value-identical (the cache rows [0, t)
+        are exactly the chunk) but reads T columns instead of S_max: a 16-
+        token admission into an 8192-slot cache does 512x less attention
+        work. Cache writes still happen for the decode steps that follow.
 
         x: (B, T, hidden); positions: (B, T) absolute positions of the chunk;
         length: (B,) cache fill before this chunk. The FULL stacked caches
@@ -206,16 +214,27 @@ class QuantLlamaBlock(nn.Module):
             x = x + attn_out.astype(jnp.float32)
             return self._mlp(x, qp), k_cache, v_cache
 
-        # attention over the (logical) cache prefix [0, length + t)
-        # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
-        scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) / jnp.sqrt(
-            jnp.asarray(hd, jnp.float32)
-        )
-        key_pos = jnp.arange(s_max)[None, :]                   # (1, S)
-        valid = key_pos[:, None, :] <= positions[..., None]    # (B, T, S)
-        valid &= key_pos[:, None, :] < (length[:, None, None] + t)
-        scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
+        if chunk_attention and t > 1:
+            # empty-cache prefill: the chunk IS the cache prefix; the bf16
+            # round-trip matches the cache readback bit-for-bit
+            kf = k.astype(jnp.bfloat16).astype(jnp.float32)    # (B, T, K, D)
+            vf = v.astype(jnp.bfloat16).astype(jnp.float32)
+            scores = jnp.einsum("btkgd,bukd->btkgu", qg, kf) / jnp.sqrt(
+                jnp.asarray(hd, jnp.float32)
+            )
+            causal = jnp.tril(jnp.ones((t, t), bool))          # (T_q, U_key)
+            scores = jnp.where(causal[None, :, None, None, :], scores, -1e30)
+        else:
+            # attention over the (logical) cache prefix [0, length + t)
+            # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping
+            scores = jnp.einsum("btkgd,bskd->btkgs", qg, kf) / jnp.sqrt(
+                jnp.asarray(hd, jnp.float32)
+            )
+            key_pos = jnp.arange(s_max)[None, :]                 # (1, S)
+            valid = key_pos[:, None, :] <= positions[..., None]  # (B, T, S)
+            valid &= key_pos[:, None, :] < (length[:, None, None] + t)
+            scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("btkgs,bskd->btkgd", probs, vf)
         ctx = ctx.reshape(b, t, s.num_heads * hd)
@@ -251,10 +270,14 @@ class QuantizedLlama(nn.Module):
     ring_spec: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, tokens, cache, qp: QuantPhase = FIXED):
+    def __call__(self, tokens, cache, qp: QuantPhase = FIXED,
+                 chunk_attention: bool = False):
         """tokens: (B, T) int32 appended after ``cache.length``. ``cache`` is
         a dense ``KVCache`` or a ``paged_kv.PagedKVCache``. Returns
-        (logits (B, T, vocab), updated cache of the same type)."""
+        (logits (B, T, vocab), updated cache of the same type).
+
+        ``chunk_attention``: static empty-cache-prefill fast path — see
+        ``QuantLlamaBlock``."""
         s = self.spec
         b, t = tokens.shape
         positions = cache.length[:, None] + jnp.arange(t)[None, :]
@@ -271,7 +294,8 @@ class QuantizedLlama(nn.Module):
             x, k_full, v_full = QuantLlamaBlock(
                 qc=self.qc, spec=s, ring_spec=self.ring_spec,
                 name=f"layer_{i}"
-            )(x, k_full, v_full, i, positions, cache.length, qp, page_table)
+            )(x, k_full, v_full, i, positions, cache.length, qp, page_table,
+              chunk_attention)
 
         gamma = self.param("final_norm", nn.initializers.ones_init(),
                            (s.hidden_size,))

@@ -174,8 +174,10 @@ class PagedBatcher:
             def prefill(variables, tokens, cache, real_len):
                 # batch-1 prefill over the slot's page-table row only: the
                 # page pool is shared, so writes land in the slot's pages
-                # without touching other slots' cached KV
-                logits, cache = model.apply(variables, tokens, cache, qp)
+                # without touching other slots' cached KV. chunk_attention:
+                # attend over the prompt chunk, not the gathered logical view
+                logits, cache = model.apply(variables, tokens, cache, qp,
+                                            chunk_attention=True)
                 return (jnp.argmax(logits[0, real_len - 1, :]),
                         cache.k_pages, cache.v_pages)
 

@@ -98,7 +98,10 @@ class ContinuousBatcher:
             @jax.jit
             def prefill(variables, tokens, k, v, real_len):
                 sub = KVCache(k=k, v=v, length=jnp.zeros((1,), jnp.int32))
-                logits, sub = model.apply(variables, tokens, sub, qp)
+                # chunk_attention: empty-cache prefill attends over the
+                # prompt chunk only, not the padded max_seq slab
+                logits, sub = model.apply(variables, tokens, sub, qp,
+                                          chunk_attention=True)
                 next_tok = jnp.argmax(logits[0, real_len - 1, :])
                 return next_tok, sub.k, sub.v
 

@@ -119,6 +119,22 @@ def test_continuous_batcher(calibrated, rng):
     assert len(batcher.retire(s2)) == 3
 
 
+def test_chunk_attention_prefill_matches_cache_path(calibrated, rng):
+    """Empty-cache prefill with chunk_attention must be value-identical to
+    the masked full-cache attention (and leave the same cache behind)."""
+    model, variables = calibrated
+    seq = jnp.asarray(rng.integers(0, SPEC.vocab_size, size=(2, 9)), jnp.int32)
+
+    cache0 = KVCache.zeros(SPEC, 2, SPEC.max_seq_len)
+    logits_a, cache_a = model.apply(variables, seq, cache0, FIXED)
+    logits_b, cache_b = model.apply(variables, seq, cache0, FIXED,
+                                    chunk_attention=True)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cache_a.k), np.asarray(cache_b.k))
+    np.testing.assert_array_equal(np.asarray(cache_a.v), np.asarray(cache_b.v))
+
+
 def test_continuous_batching_sharded_matches_single_device(calibrated):
     """Mesh-sharded continuous batching (slots over data, weights/KV heads
     over model) generates the same tokens as the single-device batcher —

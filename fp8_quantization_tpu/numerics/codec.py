@@ -18,6 +18,7 @@ All functions are jittable; ``expo_width``/``mant_width`` are static.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def _as_int32(x):
@@ -184,6 +185,66 @@ def compose_allnorm(expo, mant, mant_width: int, bias, sign=None):
     if sign is not None:
         values = values * jnp.asarray(sign, dtype=jnp.float32)
     return values
+
+
+def pack_exmy(values, expo_width: int, mant_width: int, bias, *,
+              signed: bool = True):
+    """Pack grid values into flat byte codes ``s:1 | e:expo_width | m:mant_width``.
+
+    This is real FP8 *storage* (1 byte per value) — the reference only ever
+    simulates FP8 in float32 tensors (SURVEY §0); storing the codes halves
+    weight/KV HBM footprint and bandwidth vs the bf16 fast mode. ``values``
+    must already sit on the ExMy grid (e.g. STE-quantizer outputs); use
+    :func:`unpack_exmy` round-trip equality to verify losslessness — the STE
+    grid's top binade can carry to exponent ``2^expo_width`` (one past the
+    field), in which case the caller should retry with ``bias - 1`` or fall
+    back to bf16 storage (see ``ops.fastpath.pack_weights``).
+
+    Returns a uint8 array when the code fits in 8 bits, else int32.
+    """
+    total = int(signed) + expo_width + mant_width
+    assert total <= 32
+    expo, mant = decompose(values, mant_width, bias, expo_width=expo_width,
+                           clip_of=False)
+    expo = jnp.clip(expo, 0, (1 << expo_width) - 1)
+    code = (expo << mant_width) | mant
+    if signed:
+        neg = jnp.signbit(jnp.asarray(values, jnp.float32)) & (code > 0)
+        code = code | (neg.astype(jnp.int32) << (expo_width + mant_width))
+    return code.astype(jnp.uint8 if total <= 8 else jnp.int32)
+
+
+def unpack_exmy(codes, expo_width: int, mant_width: int, bias, *,
+                signed: bool = True, dtype=jnp.float32):
+    """Decode flat byte codes back to float — inverse of :func:`pack_exmy`.
+
+    Branch-free formulation that lowers to pure VPU integer ops + one vector
+    bitcast, so the identical expression runs inside Pallas kernels
+    (``ops/pallas/dequant_matmul.py``) and as a plain jitted fn:
+
+      value = (implicit_one + m * 2^-M) * 2^(max(e, 1) - bias)
+
+    where ``2^k`` is built by writing ``k + 127`` into an f32 exponent field
+    (exact, unlike XLA's ``exp2``) and ``implicit_one`` is 0 for the
+    subnormal binade ``e == 0``.
+    """
+    c = _as_int32(codes)
+    bias_i = _as_int32(bias)
+    em = c & ((1 << (expo_width + mant_width)) - 1)
+    e = em >> mant_width
+    m = em & ((1 << mant_width) - 1)
+    ee = jnp.maximum(e, 1)
+    pow2 = jnp.asarray(
+        lax.bitcast_convert_type(
+            jnp.left_shift(ee - bias_i + 127, 23), jnp.float32
+        )
+    )
+    lead = jnp.where(e > 0, 1.0, 0.0).astype(jnp.float32)
+    val = (lead + m.astype(jnp.float32) * (2.0 ** -mant_width)) * pow2
+    if signed:
+        s = c >> (expo_width + mant_width)
+        val = jnp.where(s > 0, -val, val)
+    return val.astype(dtype)
 
 
 def value_space(expo_width: int, mant_width: int, bias):

@@ -99,3 +99,98 @@ def quantized_matmul(x, w16, act: Optional[ScalarQuantParams] = None,
 def fast_dense_apply(p: FastDenseParams, x, out_dtype=jnp.float32):
     """Apply a finalized dense layer (no activation fn)."""
     return quantized_matmul(x, p.w16, p.act, p.res, p.bias, out_dtype)
+
+
+# --------------------------------------------------------------------------
+# Packed-FP8 serving: real 1-byte weight storage (see pallas/dequant_matmul)
+# --------------------------------------------------------------------------
+
+def _walk_cache(cache_node, quant_node, path, visit):
+    if not isinstance(cache_node, dict):
+        return
+    if "w_q" in cache_node:
+        visit(cache_node, quant_node, path)
+        return
+    for key, child in cache_node.items():
+        qchild = quant_node.get(key, {}) if isinstance(quant_node, dict) else {}
+        _walk_cache(child, qchild, path + (key,), visit)
+
+
+def pack_dense_caches(variables, qc: QuantConfig,
+                      n_bits_w: Optional[int] = None):
+    """Install 1-byte packed weight codes for every cached dense layer.
+
+    Walks the ``quant_cache`` collection (built by a ``cache_weights`` pass)
+    and, for each 2-D FP-quantized kernel, adds ``w_codes`` (uint8 ExMy
+    codes) + ``w_pack_bias`` (int32 per-channel packing bias) next to the
+    existing ``w_q``. Layers whose quantizer state disagrees with the static
+    config (e.g. FP_MSE elected different mantissa bits) are skipped — the
+    packed apply path would decode them with the wrong format.
+
+    Returns ``(variables, report)``; ``report`` maps layer paths to the
+    fraction of channels packed bit-exactly (see ``pack_weights`` — the STE
+    grid's rounded bias can overflow the 8-bit field, in which case the
+    channel re-quantizes onto the true-8-bit ``bias - 1`` grid).
+    """
+    import flax
+
+    from .pallas.dequant_matmul import pack_weights
+
+    wq_cfg = qc.weight_quantizer(n_bits_w)
+    if wq_cfg.method != QMethod.fp_quantizer:
+        raise ValueError("packed serving supports the FP quantizer only")
+    mant = int(wq_cfg.fp8.mantissa_bits)
+    expo = wq_cfg.n_bits - 1 - mant
+    if 1 + expo + mant > 8:
+        raise ValueError(f"format E{expo}M{mant}+sign does not fit in 8 bits")
+
+    variables = flax.core.unfreeze(variables)
+    report = {}
+
+    def visit(node, qnode, path):
+        w_q = node.get("w_q")
+        w_bias = node.get("w_bias")
+        if w_q is None or w_q.ndim != 2 or w_bias is None or w_bias.size == 0:
+            return
+        state = (qnode.get("weight_quantizer", {}) or {}).get("q", {})
+        mbits = state.get("mantissa_bits")
+        sbits = state.get("sign_bits")
+        if (mbits is None or int(jnp.round(mbits[0])) != mant
+                or sbits is None or int(sbits[0]) != 1):
+            return
+        pw = pack_weights(jnp.asarray(w_q, jnp.float32), w_bias, expo, mant)
+        node["w_codes"] = pw.codes
+        node["w_pack_bias"] = pw.bias
+        report["/".join(path)] = float(pw.exact_fraction)
+
+    _walk_cache(variables.get("quant_cache", {}), variables.get("quant", {}),
+                (), visit)
+    return variables, report
+
+
+def strip_packed_params(variables):
+    """Drop the f32 kernels and bf16 weight caches of packed layers.
+
+    After ``pack_dense_caches``, a packed-phase apply never requests the
+    ``kernel`` param or the ``w_q``/``w_bias`` cache entries of a layer that
+    has ``w_codes`` — removing them cuts resident weight HBM to the 1-byte
+    codes (~6x vs f32+bf16). The stripped variables only work with
+    ``qp.packed`` phases; re-calibration needs the originals.
+    """
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+
+    def visit(node, _qnode, path):
+        if "w_codes" not in node:
+            return
+        node.pop("w_q", None)
+        node.pop("w_bias", None)
+        pnode = variables.get("params", {})
+        for key in path:
+            pnode = pnode.get(key, {}) if isinstance(pnode, dict) else {}
+        if isinstance(pnode, dict):
+            pnode.pop("kernel", None)
+
+    _walk_cache(variables.get("quant_cache", {}), {}, (), visit)
+    return variables

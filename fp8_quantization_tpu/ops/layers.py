@@ -176,6 +176,26 @@ class _QuantOpBase(nn.Module):
             return w, (wb if wb.size else None)
         return sites.weight(kernel, qp, with_bias=True)
 
+    def _packed_weights(self, qp: QuantPhase):
+        """Packed-FP8 serving path (``qp.packed``): return the 1-byte weight
+        codes installed by ``ops.fastpath.pack_dense_caches``, or None when
+        this layer has none (falls through to the normal path)."""
+        if not (qp.packed and qp.quant_w and not qp.estimating
+                and not self._special_armed()
+                and self.has_variable("quant_cache", "w_codes")):
+            return None
+        from .pallas.dequant_matmul import PackedWeights
+
+        wq_cfg = self.qc.weight_quantizer(self.n_bits_w)
+        mant = int(wq_cfg.fp8.mantissa_bits)
+        return PackedWeights(
+            codes=self.get_variable("quant_cache", "w_codes"),
+            bias=self.get_variable("quant_cache", "w_pack_bias"),
+            exact_fraction=jnp.float32(1.0),
+            expo_width=wq_cfg.n_bits - 1 - mant,
+            mant_width=mant,
+        )
+
     def _special_armed(self) -> bool:
         rm = self.qc.run_method
         return rm.res_quantizer_flag and (
@@ -225,6 +245,29 @@ class QuantDense(_QuantOpBase):
         return self._tail(sites, res, qp)
 
     def _dense_body(self, sites: _Sites, x, qp: QuantPhase):
+        pw = self._packed_weights(qp)
+        if pw is not None:
+            # real-8-bit serving: weights stay 1 byte in HBM, decoded to bf16
+            # in VMEM inside the fused kernel. The f32 ``kernel`` param is
+            # never requested, so ``strip_packed_params`` can drop it.
+            from .pallas.dequant_matmul import dequant_matmul
+
+            x, _ = self._quant_in(sites, x, qp)
+            x2d = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+            out2d = dequant_matmul(
+                x2d, pw.codes, pw.bias,
+                expo_width=pw.expo_width, mant_width=pw.mant_width,
+            )
+            res = out2d.reshape(*x.shape[:-1], self.features)
+            if self.use_bias:
+                res = res + self.param(
+                    "bias", nn.initializers.zeros_init(), (self.features,)
+                )
+            if (self.qc.quantize_input and qp.quant_a
+                    and self.qc.run_method.res_quantizer_flag):
+                res = sites.res(res, qp)
+            return res
+
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
         )

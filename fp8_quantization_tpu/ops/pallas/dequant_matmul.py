@@ -1,0 +1,248 @@
+"""Packed-FP8 weight storage + fused dequantize->matmul Pallas TPU kernel.
+
+Real 8-bit storage for the serving path. The reference only ever *simulates*
+FP8 inside float32 tensors (SURVEY §0; approx_matmul_whole_v9.py keeps every
+operand fp32); the bf16 fast mode already halves that, and this kernel halves
+it again: weights live in HBM as 1-byte ExMy codes
+(``s:1 | e:expo_width | m:mant_width``) and are decoded to bf16 *in VMEM*
+inside the matmul kernel — the decode never round-trips through HBM. Decode
+throughput rides the VPU (integer field extraction + one exponent-field
+bitcast, see ``numerics.codec.unpack_exmy``); the dot rides the MXU. For the
+weight-bound decode step of LLM serving this halves the HBM bytes per token.
+
+Packing fidelity (``pack_weights``): the reference's STE quantizer
+(fp8_quantizer.py:97-173) *rounds* the exponent bias, which places ~40% of
+channels' grids one binade high — their top codes need exponent ``2^E``, one
+past the field, so the simulated grid genuinely has more than ``2^n_bits``
+codes and cannot be stored in n_bits exactly. Channels that fit are packed
+bit-exactly with the STE bias; overflow channels are re-quantized onto the
+``bias - 1`` codec grid (true 8-bit, ``max_norm`` covers ``maxval``), which
+moves only bottom-binade subnormal values by <= half an ULP of the smallest
+magnitude. ``PackedWeights.exact_fraction`` reports the split.
+
+Grid: (M/bm, N/bn, K/bk), K innermost, f32 VMEM accumulator — the same
+schedule as ``fused_matmul.py``; the per-channel packing bias rides along the
+N axis as a (1, bn) int32 block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...numerics.codec import pack_exmy, quantize_exmy, unpack_exmy
+from .fused_matmul import _pad_to, _round_up, quantize_block
+
+
+class PackedWeights(NamedTuple):
+    codes: jnp.ndarray           # (K, N) uint8 ExMy codes
+    bias: jnp.ndarray            # (N,) int32 per-channel packing bias
+    exact_fraction: jnp.ndarray  # f32 scalar: fraction of channels bit-exact
+    expo_width: int              # static
+    mant_width: int              # static
+
+    @property
+    def shape(self):
+        return self.codes.shape
+
+
+def pack_weights(w_q, w_bias, expo_width: int, mant_width: int) -> PackedWeights:
+    """Pack STE-quantized weights (grid values) into per-channel byte codes.
+
+    Args:
+      w_q: (K, N) float32/bf16 weights already on their ExMy grid (the
+        ``quant_cache`` ``w_q`` entry / ``FastDenseParams.w16``).
+      w_bias: per-channel derived exponent bias from the weight quantizer —
+        (N,) or (1,) f32/int (``quant_cache`` ``w_bias``).
+      expo_width/mant_width: the format's nominal field widths (static).
+
+    Returns a :class:`PackedWeights`; ``unpack_weights`` / the kernel decode
+    reproduce ``w_q`` bit-for-bit on channels counted by ``exact_fraction``
+    and up to a bottom-subnormal half-ULP elsewhere (see module docstring).
+    """
+    w_q = jnp.asarray(w_q, jnp.float32)
+    k, n = w_q.shape
+    bias = jnp.broadcast_to(jnp.asarray(w_bias).reshape(-1).astype(jnp.int32),
+                            (n,))
+
+    codes0 = pack_exmy(w_q, expo_width, mant_width, bias[None, :])
+    fits = jnp.all(
+        unpack_exmy(codes0, expo_width, mant_width, bias[None, :]) == w_q,
+        axis=0,
+    )
+
+    bias1 = bias - 1
+    w_q1 = quantize_exmy(w_q, expo_width, mant_width, bias1[None, :])
+    codes1 = pack_exmy(w_q1, expo_width, mant_width, bias1[None, :])
+
+    codes = jnp.where(fits[None, :], codes0, codes1)
+    bias_pack = jnp.where(fits, bias, bias1)
+    # a bias-1 channel can still be value-exact (its misfit codes were all
+    # top-binade, which the bias-1 grid holds exactly) — report value equality
+    exact = jnp.all(
+        unpack_exmy(codes, expo_width, mant_width, bias_pack[None, :]) == w_q,
+        axis=0,
+    )
+    return PackedWeights(
+        codes=codes,
+        bias=bias_pack,
+        exact_fraction=jnp.mean(exact.astype(jnp.float32)),
+        expo_width=expo_width,
+        mant_width=mant_width,
+    )
+
+
+def unpack_weights(pw: PackedWeights, dtype=jnp.float32):
+    """Reference decode (the kernel's golden)."""
+    return unpack_exmy(pw.codes, pw.expo_width, pw.mant_width,
+                       pw.bias[None, :], dtype=dtype)
+
+
+def _kernel(
+    amax_ref, abias_ref, amant_ref, asign_ref,
+    rmax_ref, rbias_ref, rmant_ref, rsign_ref,
+    x_ref, w_ref, wb_ref, o_ref, acc_ref,
+    *, expo_width: int, mant_width: int,
+    quantize_x: bool, requantize_out: bool, n_k: int,
+):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    if quantize_x:
+        x = quantize_block(
+            x, amax_ref[0, 0], abias_ref[0, 0], amant_ref[0, 0], asign_ref[0, 0]
+        )
+    w = unpack_exmy(w_ref[:], expo_width, mant_width, wb_ref[:],
+                    dtype=jnp.bfloat16)
+    acc_ref[:] += jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        out = acc_ref[:]
+        if requantize_out:
+            out = quantize_block(
+                out, rmax_ref[0, 0], rbias_ref[0, 0], rmant_ref[0, 0],
+                rsign_ref[0, 0],
+            )
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("expo_width", "mant_width", "quantize_x",
+                     "requantize_out", "out_dtype", "bm", "bn", "bk",
+                     "vmem_limit_mb"),
+)
+def dequant_matmul(
+    x,
+    w_codes,
+    w_bias,
+    *,
+    expo_width: int,
+    mant_width: int,
+    act_params: Optional[Tuple] = None,
+    res_params: Optional[Tuple] = None,
+    quantize_x: bool = False,
+    requantize_out: bool = False,
+    out_dtype=jnp.float32,
+    bm: int = 512,
+    bn: int = 1024,
+    bk: int = 1024,
+    vmem_limit_mb: int = 100,
+):
+    """``requant(quantize(x) @ decode(w_codes))`` as one fused TPU kernel.
+
+    Args:
+      x: (M, K) activations — bf16 already-quantized (serving steady state)
+        or f32 with ``quantize_x`` + ``act_params``.
+      w_codes: (K, N) uint8 packed ExMy codes (``PackedWeights.codes``).
+      w_bias: (N,) int32 per-channel packing bias.
+      act_params/res_params: (maxval, bias, mant, sign) scalars as in
+        ``fused_quant_matmul``.
+
+    Returns (M, N) in ``out_dtype``.
+    """
+    m, k = x.shape
+    k2, n = w_codes.shape
+    assert k == k2, (x.shape, w_codes.shape)
+    assert w_codes.dtype == jnp.uint8, w_codes.dtype
+
+    def scalars(params):
+        if params is None:
+            z = jnp.zeros((1, 1), jnp.float32)
+            zi = jnp.zeros((1, 1), jnp.int32)
+            return z, zi, zi, zi
+        mv, bias, mant, sign = params
+        return (
+            jnp.asarray(mv, jnp.float32).reshape(1, 1),
+            jnp.asarray(bias, jnp.int32).reshape(1, 1),
+            jnp.asarray(mant, jnp.int32).reshape(1, 1),
+            jnp.asarray(sign, jnp.int32).reshape(1, 1),
+        )
+
+    amax, abias, amant, asign = scalars(act_params)
+    rmax, rbias, rmant, rsign = scalars(res_params)
+
+    bm = min(bm, _round_up(m, 128))
+    bn = min(bn, _round_up(n, 128))
+    bk = min(bk, _round_up(k, 256))  # uint8 min sublane tile is 32
+
+    xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
+    wp = _pad_to(_pad_to(w_codes, bk, 0), bn, 1)
+    # padded-channel bias of 0 is harmless: padded codes are 0 -> decode +0
+    wbp = _pad_to(
+        jnp.asarray(w_bias, jnp.int32).reshape(1, -1), bn, 1
+    )
+    mp, kp = xp.shape
+    np_ = wp.shape[1]
+    n_k = kp // bk
+
+    smem = lambda: pl.BlockSpec((1, 1), lambda i, j, kk: (0, 0),
+                                memory_space=pltpu.SMEM)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, expo_width=expo_width, mant_width=mant_width,
+            quantize_x=quantize_x, requantize_out=requantize_out, n_k=n_k,
+        ),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[
+            smem(), smem(), smem(), smem(),
+            smem(), smem(), smem(), smem(),
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp * x.dtype.itemsize + kp * np_
+                            + mp * np_ * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xp, wp, wbp)
+    return out[:m, :n]

@@ -53,6 +53,13 @@ class QuantPhase:
     # f32, so values stay bit-identical to the fixed phase; only dot-product
     # accumulation order can differ.
     fast: bool = False
+    # packed-FP8 serving: dense layers read 1-byte ExMy weight codes from the
+    # ``quant_cache`` collection (``ops.fastpath.pack_dense_caches``) and run
+    # the fused dequantize->matmul Pallas kernel — real 8-bit storage, half
+    # the weight HBM traffic of the bf16 fast mode (the reference only ever
+    # simulates FP8 in f32 tensors, SURVEY §0). Layers without packed codes
+    # fall through to their normal path.
+    packed: bool = False
 
     @property
     def estimating(self) -> bool:
@@ -63,6 +70,7 @@ FP32 = QuantPhase(quant_w=False, quant_a=False)
 ESTIMATE = QuantPhase(phase="estimate")
 FIXED = QuantPhase(phase="fixed")
 FAST = QuantPhase(phase="fixed", fast=True)
+PACKED = QuantPhase(phase="fixed", fast=True, packed=True)
 
 
 class QuantSite(nn.Module):

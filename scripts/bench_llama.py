@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--prefill-t", type=int, default=1024)
     ap.add_argument("--decode-batch", type=int, default=8)
     ap.add_argument("--decode-s", type=int, default=1024)
+    ap.add_argument("--packed", action="store_true",
+                    help="1-byte packed weight storage + fused dequant "
+                         "matmul (ops/pallas/dequant_matmul.py)")
     args = ap.parse_args()
 
     spec = LlamaSpec(
@@ -106,6 +109,23 @@ def main():
     _, ups = model.apply(variables, calib, cache0, warm,
                          mutable=["quant_cache"])
     variables = {**variables, **ups}
+
+    if args.packed:
+        # real-8-bit weight storage: 1-byte codes + fused dequant matmul
+        from fp8_quantization_tpu.ops.fastpath import (
+            pack_dense_caches, strip_packed_params)
+
+        variables, report = pack_dense_caches(variables, qc)
+        variables = strip_packed_params(variables)
+        fast = QuantPhase(phase="fixed", fast=True, packed=True)
+        exact = sum(report.values()) / max(len(report), 1)
+        w_bytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree.leaves(variables)
+        )
+        print(f"packed {len(report)} dense layers "
+              f"(mean exact channel fraction {exact:.3f}); resident "
+              f"variables {w_bytes/1e6:.0f} MB", file=sys.stderr, flush=True)
 
     # --- prefill ---
     t_len = args.prefill_t
@@ -160,6 +180,7 @@ def main():
         "decode_step_ms": round(t_dec * 1e3, 3),
         "decode_batch": b,
         "decode_context": s_len,
+        "packed_weights": bool(args.packed),
     }))
 
 

@@ -1,0 +1,200 @@
+"""Packed-FP8 (real 1-byte) weight storage + fused dequant-matmul tests.
+
+The reference only simulates FP8 inside f32 tensors (SURVEY §0); this is the
+storage path it has no analog for: ExMy codes packed to uint8, decoded in
+VMEM inside the matmul kernel (ops/pallas/dequant_matmul.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8_quantization_tpu.config import (
+    EstimatorConfig,
+    FP8Config,
+    QMethod,
+    QuantConfig,
+    RangeMethod,
+    RunMethodConfig,
+)
+from fp8_quantization_tpu.numerics.codec import pack_exmy, unpack_exmy
+from fp8_quantization_tpu.numerics.fp8_ste import quantize_to_fp8_ste
+from fp8_quantization_tpu.ops.fastpath import (
+    pack_dense_caches,
+    strip_packed_params,
+)
+from fp8_quantization_tpu.ops.layers import QuantDense
+from fp8_quantization_tpu.ops.pallas.dequant_matmul import (
+    dequant_matmul,
+    pack_weights,
+    unpack_weights,
+)
+from fp8_quantization_tpu.quant import ESTIMATE
+from fp8_quantization_tpu.quant.sites import FAST, PACKED, QuantPhase
+
+
+def _ste_weights(rng, k, n, mant, with_tiny=True):
+    w = rng.normal(size=(k, n)).astype(np.float32)
+    if with_tiny:
+        w[: k // 8] *= 1e-6  # force subnormal codes
+    mv = np.max(np.abs(w), axis=0).reshape(1, -1)
+    wq, bias = quantize_to_fp8_ste(jnp.asarray(w), 8, jnp.asarray(mv),
+                                   float(mant), 1)
+    return wq, jnp.broadcast_to(bias, (1, n))[0]
+
+
+@pytest.mark.parametrize("expo,mant", [(3, 4), (4, 3), (2, 5), (5, 2)])
+def test_codec_pack_roundtrip_on_value_space(expo, mant):
+    """Every nominal-format code round-trips pack -> unpack bitwise."""
+    bias = jnp.asarray([2 ** (expo - 1)], jnp.int32)
+    codes = jnp.arange(256, dtype=jnp.int32)
+    vals = unpack_exmy(codes.astype(jnp.uint8), expo, mant, bias)
+    back = pack_exmy(vals, expo, mant, bias)
+    # -0.0 (code 128) canonicalizes to +0.0 (code 0); all others exact
+    expected = np.array(codes, np.int32)
+    expected[1 << (expo + mant)] = 0
+    np.testing.assert_array_equal(np.asarray(back, np.int32), expected)
+
+
+@pytest.mark.parametrize("expo,mant", [(3, 4), (4, 3), (2, 5)])
+def test_pack_weights_fidelity(expo, mant, rng):
+    """Exact channels reproduce the STE grid bitwise; overflow channels move
+    only by the bias-1 grid's subnormal half-ULP (bottom binades)."""
+    wq, bias = _ste_weights(rng, 256, 64, mant)
+    pw = pack_weights(wq, bias, expo, mant)
+    dec = unpack_weights(pw)
+    assert pw.codes.dtype == jnp.uint8
+    exact_cols = np.asarray(jnp.all(dec == wq, axis=0))
+    assert float(pw.exact_fraction) == pytest.approx(exact_cols.mean())
+    assert exact_cols.any(), "expected some bit-exact channels"
+    # non-exact channels: deviation bounded by one subnormal step of the
+    # bias-1 grid, and only on magnitudes below its min_norm
+    dev = np.abs(np.asarray(dec - wq, np.float64))
+    bias_np = np.asarray(pw.bias, np.int64)
+    step = 2.0 ** (1.0 - (bias_np + 1) - mant)  # packing used bias-1 there
+    assert (dev <= step[None, :] + 1e-30).all()
+    big = np.abs(np.asarray(wq, np.float64)) >= 2.0 ** (1 - bias_np)[None, :]
+    assert (dev[big] == 0).all(), "normal-binade values must be exact"
+
+
+@pytest.mark.parametrize("expo,mant", [(3, 4), (4, 3), (2, 5)])
+def test_dequant_matmul_matches_golden(expo, mant, rng):
+    wq, bias = _ste_weights(rng, 384, 256, mant)
+    pw = pack_weights(wq, bias, expo, mant)
+    dec = unpack_weights(pw, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(48, 384)), jnp.float32).astype(jnp.bfloat16)
+    golden = jnp.dot(x, dec, preferred_element_type=jnp.float32)
+    out = dequant_matmul(x, pw.codes, pw.bias, expo_width=expo,
+                         mant_width=mant)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(golden))
+
+
+def test_dequant_matmul_odd_shapes(rng):
+    """Padding: shapes not multiples of the tile sizes."""
+    wq, bias = _ste_weights(rng, 130, 70, 4)
+    pw = pack_weights(wq, bias, 3, 4)
+    x = jnp.asarray(rng.normal(size=(5, 130)), jnp.float32).astype(jnp.bfloat16)
+    golden = jnp.dot(x, unpack_weights(pw, dtype=jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    out = dequant_matmul(x, pw.codes, pw.bias, expo_width=3, mant_width=4)
+    # padding the K axis changes the f32 accumulation split points, so only
+    # near-equality holds off tile boundaries (values identical per-term)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(golden),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _qc():
+    return QuantConfig(
+        method=QMethod.fp_quantizer,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+    )
+
+
+def _calibrated_dense(rng, in_f=32, out_f=48):
+    layer = QuantDense(qc=_qc(), features=out_f)
+    x = jnp.asarray(rng.normal(size=(8, in_f)), jnp.float32)
+    v = layer.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True, fast=True)
+    _, ups = layer.apply(v, x, cache_qp, mutable=["quant_cache"])
+    return layer, {**v, **ups}, x
+
+
+def test_quant_dense_packed_matches_fast(rng):
+    layer, v, x = _calibrated_dense(rng)
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert report, "expected the dense layer to be packed"
+    out_fast = np.asarray(layer.apply(v, x, FAST), np.float32)
+    out_packed = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    # deviation only from overflow channels' bottom-subnormal requant
+    np.testing.assert_allclose(out_packed, out_fast, rtol=2e-2, atol=2e-2)
+    if all(f == 1.0 for f in report.values()):
+        np.testing.assert_array_equal(out_packed, out_fast)
+
+
+def test_packed_falls_through_without_codes(rng):
+    """PACKED phase on un-packed variables == FAST (no codes installed)."""
+    layer, v, x = _calibrated_dense(rng)
+    out_fast = np.asarray(layer.apply(v, x, FAST), np.float32)
+    out_packed = np.asarray(layer.apply(v, x, PACKED), np.float32)
+    np.testing.assert_array_equal(out_packed, out_fast)
+
+
+def test_strip_packed_params(rng):
+    layer, v, x = _calibrated_dense(rng)
+    vp, _ = pack_dense_caches(v, layer.qc)
+    out_full = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    vs = strip_packed_params(vp)
+    assert "kernel" not in vs["params"]
+    assert "w_q" not in vs["quant_cache"]
+    assert vs["quant_cache"]["w_codes"].dtype == jnp.uint8
+    out_stripped = np.asarray(layer.apply(vs, x, PACKED), np.float32)
+    np.testing.assert_array_equal(out_stripped, out_full)
+
+
+def test_llama_packed_decode_matches_fast(rng):
+    from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    model = QuantizedLlama(qc=_qc(), spec=spec)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 8)), jnp.int32)
+    cache0 = KVCache.zeros(spec, 2, spec.max_seq_len)
+    v = model.init(jax.random.key(0), toks, cache0, ESTIMATE)
+    _, ups = model.apply(v, toks, cache0, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+    _, ups = model.apply(v, toks, cache0, warm, mutable=["quant_cache"])
+    v = {**v, **ups}
+
+    vp, report = pack_dense_caches(v, model.qc)
+    assert len(report) == spec.num_layers * 7 + 1  # qkvo + 3 mlp + lm_head
+    vp = strip_packed_params(vp)
+
+    def greedy(variables, qp, steps=5):
+        cache = KVCache.zeros(spec, 2, spec.max_seq_len)
+        logits, cache = model.apply(variables, toks, cache, qp)
+        out, last = [], jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        all_logits = [logits[:, -1]]
+        for _ in range(steps):
+            out.append(np.asarray(last))
+            logits, cache = model.apply(variables, last, cache, qp)
+            all_logits.append(logits[:, -1])
+            last = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        return np.concatenate(out, 1), np.stack([np.asarray(l) for l in all_logits])
+
+    toks_fast, logits_fast = greedy(v, FAST)
+    toks_packed, logits_packed = greedy(vp, PACKED)
+    # overflow channels' bottom-subnormal requant perturbs a few logits of
+    # this tiny random model; greedy decoding must be unaffected
+    np.testing.assert_allclose(logits_packed, logits_fast, rtol=0.3, atol=0.3)
+    np.testing.assert_array_equal(toks_packed, toks_fast)

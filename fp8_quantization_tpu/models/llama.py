@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import QuantConfig
+from ..numerics.codec import pack_exmy, unpack_exmy
 from ..ops.layers import QuantDense
 from ..quant.sites import FIXED, QuantPhase, QuantSite
 
@@ -60,20 +61,23 @@ LLAMA_TINY = LlamaSpec(vocab_size=256, hidden_size=64, num_layers=2,
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV cache. bf16 FP8-grid values (exact)."""
+    """Per-layer stacked KV cache: bf16 FP8-grid values (exact), or uint8
+    packed ExMy codes when the model runs with ``packed_kv`` (half the
+    footprint; decoded in the attention read)."""
 
-    k: jnp.ndarray        # (L, B, S, H_kv, D) bf16
-    v: jnp.ndarray        # (L, B, S, H_kv, D) bf16
+    k: jnp.ndarray        # (L, B, S, H_kv, D) bf16 | uint8
+    v: jnp.ndarray        # (L, B, S, H_kv, D) bf16 | uint8
     length: jnp.ndarray   # (B,) int32 — tokens already cached per slot
 
     @classmethod
     def zeros(cls, spec: LlamaSpec, batch: int,
-              max_seq: Optional[int] = None) -> "KVCache":
+              max_seq: Optional[int] = None,
+              dtype=jnp.bfloat16) -> "KVCache":
         s = max_seq or spec.max_seq_len
         shape = (spec.num_layers, batch, s, spec.num_kv_heads, spec.head_dim)
         return cls(
-            k=jnp.zeros(shape, jnp.bfloat16),
-            v=jnp.zeros(shape, jnp.bfloat16),
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
             length=jnp.zeros((batch,), jnp.int32),
         )
 
@@ -102,6 +106,13 @@ class QuantLlamaBlock(nn.Module):
     # Ring prefill is valid only from an empty cache (pure self-attention
     # over the chunk) and needs T divisible by the axis size.
     ring_spec: Optional[tuple] = None
+    # store KV as 1-byte packed ExMy codes instead of bf16 grid values:
+    # half the cache footprint/bandwidth (2x the slots/context per HBM).
+    # Encode uses each site's frozen quantizer bias, adjusted to the
+    # true-8-bit grid when the STE bias overflows the field (fp_pack_bias);
+    # the read decodes with the same bias, so it requires fixed ranges and
+    # quantized activations.
+    packed_kv: bool = False
 
     @nn.compact
     def __call__(self, x, k_cache, v_cache, layer_idx, positions, length,
@@ -152,12 +163,31 @@ class QuantLlamaBlock(nn.Module):
         v = v.reshape(b, t, s.num_kv_heads, hd)
 
         # FP8-quantize K/V before caching (the FP8 KV cache): own sites,
-        # stored bf16 (exact for the grid)
+        # stored bf16 (exact for the grid) or uint8 codes (packed_kv)
+        kb = vb = None
         if qp.quant_a:
-            k = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
-                          name="k_cache_quantizer")(k, qp)
-            v = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
-                          name="v_cache_quantizer")(v, qp)
+            ksite = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
+                              name="k_cache_quantizer")
+            vsite = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
+                              name="v_cache_quantizer")
+            k = ksite(k, qp)
+            v = vsite(v, qp)
+            if self.packed_kv:
+                kb = ksite.fp_pack_bias()[0]
+                vb = vsite.fp_pack_bias()[0]
+        elif self.packed_kv:
+            raise ValueError("packed_kv requires quantized activations")
+
+        if self.packed_kv:
+            acfg = self.qc.act_quantizer()
+            kv_mant = int(acfg.fp8.mantissa_bits)
+            kv_expo = acfg.n_bits - 1 - kv_mant
+            store = lambda t, bb: pack_exmy(
+                t.astype(jnp.float32), kv_expo, kv_mant, bb, clip_of=True)
+            load = lambda t, bb: unpack_exmy(t, kv_expo, kv_mant, bb)
+        else:
+            store = lambda t, bb: t.astype(jnp.bfloat16)
+            load = lambda t, bb: t.astype(jnp.float32)
 
         if page_table is None:
             # dense: write the chunk at [length, length+t) per slot into this
@@ -165,21 +195,21 @@ class QuantLlamaBlock(nn.Module):
             # dynamic_update_slice ops (in-place when the cache buffer is
             # loop-carried or donated; a gather-scatter here measured ~25%
             # slower at prefill chunk sizes)
-            k16 = k.astype(jnp.bfloat16)
-            v16 = v.astype(jnp.bfloat16)
+            k_st = store(k, kb)
+            v_st = store(v, vb)
 
             def write_slot(bi, caches):
                 kc, vc = caches
                 start = (layer_idx, bi, length[bi], 0, 0)
-                kc = lax.dynamic_update_slice(kc, k16[bi][None, None], start)
-                vc = lax.dynamic_update_slice(vc, v16[bi][None, None], start)
+                kc = lax.dynamic_update_slice(kc, k_st[bi][None, None], start)
+                vc = lax.dynamic_update_slice(vc, v_st[bi][None, None], start)
                 return kc, vc
 
             k_cache, v_cache = lax.fori_loop(
                 0, b, write_slot, (k_cache, v_cache), unroll=True)
             s_max = k_cache.shape[2]
-            kf = k_cache[layer_idx].astype(jnp.float32)
-            vf = v_cache[layer_idx].astype(jnp.float32)
+            kf = load(k_cache[layer_idx], kb)
+            vf = load(v_cache[layer_idx], vb)
         else:
             # paged: scatter the chunk into physical pages, gather the slot's
             # logical view back for attention. Unallocated table entries point
@@ -187,15 +217,13 @@ class QuantLlamaBlock(nn.Module):
             page = k_cache.shape[2]
             pp = jnp.take_along_axis(page_table, positions // page, axis=1)
             off = positions % page
-            k_cache = k_cache.at[layer_idx, pp, off].set(
-                k.astype(jnp.bfloat16))
-            v_cache = v_cache.at[layer_idx, pp, off].set(
-                v.astype(jnp.bfloat16))
+            k_cache = k_cache.at[layer_idx, pp, off].set(store(k, kb))
+            v_cache = v_cache.at[layer_idx, pp, off].set(store(v, vb))
             s_max = page_table.shape[1] * page
-            kf = k_cache[layer_idx][page_table].reshape(
-                b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
-            vf = v_cache[layer_idx][page_table].reshape(
-                b, s_max, s.num_kv_heads, hd).astype(jnp.float32)
+            kf = load(k_cache[layer_idx][page_table].reshape(
+                b, s_max, s.num_kv_heads, hd), kb)
+            vf = load(v_cache[layer_idx][page_table].reshape(
+                b, s_max, s.num_kv_heads, hd), vb)
 
         if self.ring_spec is not None and t > 1:
             # ring prefill: exact sequence-parallel self-attention over the
@@ -216,10 +244,10 @@ class QuantLlamaBlock(nn.Module):
 
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
         if chunk_attention and t > 1:
-            # empty-cache prefill: the chunk IS the cache prefix; the bf16
-            # round-trip matches the cache readback bit-for-bit
-            kf = k.astype(jnp.bfloat16).astype(jnp.float32)    # (B, T, K, D)
-            vf = v.astype(jnp.bfloat16).astype(jnp.float32)
+            # empty-cache prefill: the chunk IS the cache prefix; the store/
+            # load round-trip matches the cache readback bit-for-bit
+            kf = load(store(k, kb), kb)                        # (B, T, K, D)
+            vf = load(store(v, vb), vb)
             scores = jnp.einsum("btkgd,bukd->btkgu", qg, kf) / jnp.sqrt(
                 jnp.asarray(hd, jnp.float32)
             )
@@ -268,6 +296,9 @@ class QuantizedLlama(nn.Module):
     # (mesh, seq_axis) for ring-attention prefill (see QuantLlamaBlock);
     # only use when calling with an EMPTY cache and T % axis_size == 0
     ring_spec: Optional[tuple] = None
+    # uint8 packed-code KV cache (see QuantLlamaBlock.packed_kv); build the
+    # cache with ``KVCache.zeros(..., dtype=jnp.uint8)``
+    packed_kv: bool = False
 
     @nn.compact
     def __call__(self, tokens, cache, qp: QuantPhase = FIXED,
@@ -293,7 +324,7 @@ class QuantizedLlama(nn.Module):
         for i in range(s.num_layers):
             x, k_full, v_full = QuantLlamaBlock(
                 qc=self.qc, spec=s, ring_spec=self.ring_spec,
-                name=f"layer_{i}"
+                packed_kv=self.packed_kv, name=f"layer_{i}"
             )(x, k_full, v_full, i, positions, cache.length, qp, page_table,
               chunk_attention)
 

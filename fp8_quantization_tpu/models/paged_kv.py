@@ -46,14 +46,14 @@ class PagedKVCache(NamedTuple):
 
     @classmethod
     def zeros(cls, spec: LlamaSpec, batch: int, num_pages: int,
-              page_size: int, max_pages: Optional[int] = None
-              ) -> "PagedKVCache":
+              page_size: int, max_pages: Optional[int] = None,
+              dtype=jnp.bfloat16) -> "PagedKVCache":
         mp = max_pages or -(-spec.max_seq_len // page_size)
         shape = (spec.num_layers, num_pages, page_size, spec.num_kv_heads,
                  spec.head_dim)
         return cls(
-            k_pages=jnp.zeros(shape, jnp.bfloat16),
-            v_pages=jnp.zeros(shape, jnp.bfloat16),
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
             page_table=jnp.zeros((batch, mp), jnp.int32),
             length=jnp.zeros((batch,), jnp.int32),
         )
@@ -112,8 +112,10 @@ class PagedBatcher:
         self.allocator = PageAllocator(num_pages)
         self.table = np.zeros((slots, max_pages), np.int32)
         self.lengths = np.zeros((slots,), np.int32)
-        cache0 = PagedKVCache.zeros(spec, slots, num_pages, page_size,
-                                    max_pages)
+        cache0 = PagedKVCache.zeros(
+            spec, slots, num_pages, page_size, max_pages,
+            dtype=jnp.uint8 if getattr(model, "packed_kv", False)
+            else jnp.bfloat16)
         self.k_pages, self.v_pages = cache0.k_pages, cache0.v_pages
 
         self.free_slots: List[int] = list(range(slots))

@@ -46,7 +46,10 @@ class ContinuousBatcher:
         self.qp = qp
         self.mesh = mesh
 
-        cache = KVCache.zeros(spec, slots, self.max_seq)
+        cache = KVCache.zeros(
+            spec, slots, self.max_seq,
+            dtype=jnp.uint8 if getattr(model, "packed_kv", False)
+            else jnp.bfloat16)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

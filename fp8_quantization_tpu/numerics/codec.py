@@ -188,7 +188,7 @@ def compose_allnorm(expo, mant, mant_width: int, bias, sign=None):
 
 
 def pack_exmy(values, expo_width: int, mant_width: int, bias, *,
-              signed: bool = True):
+              signed: bool = True, clip_of: bool = False):
     """Pack grid values into flat byte codes ``s:1 | e:expo_width | m:mant_width``.
 
     This is real FP8 *storage* (1 byte per value) — the reference only ever
@@ -200,12 +200,18 @@ def pack_exmy(values, expo_width: int, mant_width: int, bias, *,
     field), in which case the caller should retry with ``bias - 1`` or fall
     back to bf16 storage (see ``ops.fastpath.pack_weights``).
 
+    With ``clip_of`` the values are first clamped onto the format's grid
+    (codec convention: out-of-range magnitudes take the largest finite code)
+    — use this to pack values that are NOT already known to fit, e.g. the
+    packed KV cache's jit-time encode where no host-side round-trip check is
+    possible.
+
     Returns a uint8 array when the code fits in 8 bits, else int32.
     """
     total = int(signed) + expo_width + mant_width
     assert total <= 32
     expo, mant = decompose(values, mant_width, bias, expo_width=expo_width,
-                           clip_of=False)
+                           clip_of=clip_of)
     expo = jnp.clip(expo, 0, (1 << expo_width) - 1)
     code = (expo << mant_width) | mant
     if signed:

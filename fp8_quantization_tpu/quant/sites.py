@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import EstimatorConfig, QMethod, QuantizerConfig
 from . import estimators, quantizers
@@ -136,3 +137,22 @@ class QuantSite(nn.Module):
         if qstate is None or self.qcfg.method != QMethod.fp_quantizer:
             return None
         return quantizers.fp_bias(self.qcfg, qstate)
+
+    def fp_pack_bias(self):
+        """Safe int32 bias for 1-byte code packing (``numerics.codec``).
+
+        The STE quantizer *rounds* its bias, which can place the top binade
+        at exponent ``2^E`` — one past the packed field. Returns ``bias``
+        when ``maxval``'s binade fits the field, else ``bias - 1`` (the
+        true-8-bit grid whose ``max_norm`` covers ``maxval``); the binade
+        test is exact integer arithmetic on the IEEE exponent field.
+        """
+        qstate = self.get_variable("quant", "q")
+        bias = quantizers.fp_bias(self.qcfg, qstate).astype(jnp.int32)
+        mant = int(self.qcfg.fp8.mantissa_bits)
+        expo = self.qcfg.n_bits - 1 - mant
+        mv = qstate["maxval"].astype(jnp.float32)
+        e_ieee = (jnp.right_shift(
+            lax.bitcast_convert_type(mv, jnp.int32), 23) & 0xFF) - 127
+        fits = (e_ieee + bias) <= (1 << expo) - 1
+        return jnp.where(fits, bias, bias - 1)

@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="1-byte packed weight storage + fused dequant "
                          "matmul (ops/pallas/dequant_matmul.py)")
+    ap.add_argument("--packed-kv", action="store_true",
+                    help="uint8 packed-code KV cache (half the footprint)")
     args = ap.parse_args()
 
     spec = LlamaSpec(
@@ -86,12 +88,13 @@ def main():
         run_method=RunMethodConfig(res_quantizer_flag=True,
                                    original_quantize_res=True),
     )
-    model = QuantizedLlama(qc=qc, spec=spec)
+    model = QuantizedLlama(qc=qc, spec=spec, packed_kv=args.packed_kv)
+    kv_dtype = jnp.uint8 if args.packed_kv else jnp.bfloat16
 
     rng = np.random.default_rng(10)
     calib = jnp.asarray(rng.integers(0, spec.vocab_size, size=(2, 16)),
                         jnp.int32)
-    cache0 = KVCache.zeros(spec, 2, 64)
+    cache0 = KVCache.zeros(spec, 2, 64, dtype=kv_dtype)
     print("init...", file=sys.stderr, flush=True)
     variables = model.init(jax.random.key(0), calib, cache0, ESTIMATE)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
@@ -136,7 +139,7 @@ def main():
         def body(i, acc):
             # fresh cache per iteration (inside the body, so the buffer is
             # dead after the forward and the KV writes stay in place)
-            cache = KVCache.zeros(spec, 1, t_len)
+            cache = KVCache.zeros(spec, 1, t_len, dtype=kv_dtype)
             toks = (base + i) % spec.vocab_size
             logits, _ = model.apply(variables, toks, cache, fast)
             return acc + logits[0, -1].sum()
@@ -150,7 +153,7 @@ def main():
 
     # --- decode ---
     b, s_len = args.decode_batch, args.decode_s
-    cache = KVCache.zeros(spec, b, s_len)
+    cache = KVCache.zeros(spec, b, s_len, dtype=kv_dtype)
     cache = KVCache(k=cache.k, v=cache.v,
                     length=jnp.full((b,), s_len // 2, jnp.int32))
     tok0 = jnp.asarray(rng.integers(0, spec.vocab_size, size=(b, 1)),
@@ -181,6 +184,7 @@ def main():
         "decode_batch": b,
         "decode_context": s_len,
         "packed_weights": bool(args.packed),
+        "packed_kv": bool(args.packed_kv),
     }))
 
 

@@ -198,3 +198,136 @@ def test_llama_packed_decode_matches_fast(rng):
     # this tiny random model; greedy decoding must be unaffected
     np.testing.assert_allclose(logits_packed, logits_fast, rtol=0.3, atol=0.3)
     np.testing.assert_array_equal(toks_packed, toks_fast)
+
+
+# --------------------------------------------------------------------------
+# packed (uint8) KV cache
+# --------------------------------------------------------------------------
+
+def _llama_calibrated(rng, packed_kv=False):
+    from fp8_quantization_tpu.models.llama import (KVCache, LlamaSpec,
+                                                   QuantizedLlama)
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    model = QuantizedLlama(qc=_qc(), spec=spec, packed_kv=packed_kv)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 8)), jnp.int32)
+    dt = jnp.uint8 if packed_kv else jnp.bfloat16
+    cache0 = KVCache.zeros(spec, 2, spec.max_seq_len, dtype=dt)
+    v = model.init(jax.random.key(0), toks, cache0, ESTIMATE)
+    _, ups = model.apply(v, toks, cache0, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    return model, spec, {**v, **ups}, toks
+
+
+def test_packed_kv_cache_matches_bf16_cache(rng):
+    """Same calibrated variables driven through the bf16-cache and the
+    uint8-packed-cache model: tokens identical, logits close (the packed
+    encode clamps onto the true-8-bit grid where the STE bias overflows)."""
+    from fp8_quantization_tpu.models.llama import KVCache, QuantizedLlama
+
+    model, spec, v, toks = _llama_calibrated(rng, packed_kv=False)
+    pmodel = QuantizedLlama(qc=model.qc, spec=spec, packed_kv=True)
+
+    def greedy(m, dtype, steps=5):
+        cache = KVCache.zeros(spec, 2, spec.max_seq_len, dtype=dtype)
+        logits, cache = m.apply(v, toks, cache, FAST)
+        last = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        out, ls = [], [np.asarray(logits[:, -1])]
+        for _ in range(steps):
+            out.append(np.asarray(last))
+            logits, cache = m.apply(v, last, cache, FAST)
+            ls.append(np.asarray(logits[:, -1]))
+            last = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        return np.concatenate(out, 1), np.stack(ls), cache
+
+    t0, l0, _ = greedy(model, jnp.bfloat16)
+    t1, l1, cache = greedy(pmodel, jnp.uint8)
+    assert cache.k.dtype == jnp.uint8 and cache.v.dtype == jnp.uint8
+    np.testing.assert_allclose(l1, l0, rtol=0.3, atol=0.3)
+    np.testing.assert_array_equal(t1, t0)
+
+
+def test_packed_kv_prefill_decode_consistency(rng):
+    """Within the packed-KV model: incremental decode through the uint8
+    cache reproduces the one-shot full-context forward."""
+    from fp8_quantization_tpu.models.llama import KVCache, QuantizedLlama
+    from fp8_quantization_tpu.quant import FIXED
+
+    model, spec, v, _ = _llama_calibrated(rng, packed_kv=True)
+    seq = jnp.asarray(rng.integers(0, 64, size=(1, 10)), jnp.int32)
+
+    cache0 = KVCache.zeros(spec, 1, spec.max_seq_len, dtype=jnp.uint8)
+    logits_full, _ = model.apply(v, seq, cache0, FIXED)
+
+    cache = KVCache.zeros(spec, 1, spec.max_seq_len, dtype=jnp.uint8)
+    logits_pre, cache = model.apply(v, seq[:, :6], cache, FIXED)
+    np.testing.assert_allclose(np.asarray(logits_pre),
+                               np.asarray(logits_full[:, :6]),
+                               rtol=1e-4, atol=1e-4)
+    for i in range(6, 10):
+        logits_i, cache = model.apply(v, seq[:, i:i + 1], cache, FIXED)
+        np.testing.assert_allclose(np.asarray(logits_i[:, 0]),
+                                   np.asarray(logits_full[:, i]),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_packed_kv_chunk_attention_matches_cache_path(rng):
+    """The empty-cache prefill fast path must reproduce the packed cache
+    readback bit-for-bit (store/load round trip)."""
+    from fp8_quantization_tpu.models.llama import KVCache
+    from fp8_quantization_tpu.quant import FIXED
+
+    model, spec, v, _ = _llama_calibrated(rng, packed_kv=True)
+    seq = jnp.asarray(rng.integers(0, 64, size=(2, 8)), jnp.int32)
+    c0 = KVCache.zeros(spec, 2, spec.max_seq_len, dtype=jnp.uint8)
+    la, ca = model.apply(v, seq, c0, FIXED)
+    lb, cb = model.apply(v, seq, c0, FIXED, chunk_attention=True)
+    np.testing.assert_array_equal(np.asarray(la, np.float32),
+                                  np.asarray(lb, np.float32))
+    np.testing.assert_array_equal(np.asarray(ca.k), np.asarray(cb.k))
+
+
+def test_packed_kv_continuous_batcher(rng):
+    """ContinuousBatcher on a packed-KV model: uint8 cache, same tokens as
+    the bf16-cache batcher."""
+    from fp8_quantization_tpu.models.llama import QuantizedLlama
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+
+    model, spec, v, _ = _llama_calibrated(rng, packed_kv=False)
+    pmodel = QuantizedLlama(qc=model.qc, spec=spec, packed_kv=True)
+    prompts = [[3, 5, 7], [11, 13, 17, 19, 23]]
+
+    def run(m):
+        b = ContinuousBatcher(m, v, spec, slots=2, max_seq=spec.max_seq_len)
+        slots = [b.admit(p, max_new_tokens=6) for p in prompts]
+        b.run_to_completion()
+        return [b.retire(s) for s in slots], b.cache
+
+    toks0, c0 = run(model)
+    toks1, c1 = run(pmodel)
+    assert c0.k.dtype == jnp.bfloat16 and c1.k.dtype == jnp.uint8
+    assert toks1 == toks0
+
+
+def test_packed_kv_paged_matches_dense(rng):
+    """uint8 paged pool == uint8 dense slab, token for token."""
+    from fp8_quantization_tpu.models.llama import KVCache
+    from fp8_quantization_tpu.models.paged_kv import PagedKVCache
+    from fp8_quantization_tpu.quant import FIXED
+
+    model, spec, v, _ = _llama_calibrated(rng, packed_kv=True)
+    seq = jnp.asarray(rng.integers(0, 64, size=(1, 8)), jnp.int32)
+
+    dense = KVCache.zeros(spec, 1, spec.max_seq_len, dtype=jnp.uint8)
+    ld, dense = model.apply(v, seq, dense, FIXED)
+
+    paged = PagedKVCache.zeros(spec, 1, num_pages=10, page_size=4,
+                               dtype=jnp.uint8)
+    # allocate pages 1..2 for the first 8 positions of slot 0
+    paged = paged._replace(
+        page_table=paged.page_table.at[0, :2].set(jnp.asarray([1, 2])))
+    lp, paged = model.apply(v, seq, paged, FIXED)
+    assert paged.k_pages.dtype == jnp.uint8
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lp),
+                               rtol=1e-5, atol=1e-5)

@@ -29,6 +29,13 @@ class RangeMethod(enum.Enum):
     allminmax = "allminmax"
     running_minmax = "running_minmax"
     MSE = "MSE"
+    # threshold line search scoring candidates by the cross-entropy between
+    # softmax(x) and log_softmax(quantized x) over the last axis — for logits
+    # layers, where preserving the output distribution beats minimizing MSE.
+    # The reference *references* this estimator (quantization/utils.py:87
+    # ``RangeEstimators.cross_entropy``) but never defines it — that branch
+    # would crash there; this is the working implementation.
+    cross_entropy = "cross_entropy"
 
 
 class OptMethod(enum.Enum):
@@ -60,6 +67,7 @@ class EstimatorConfig:
     momentum: float = 0.9
     num_candidates: int = 111  # FP_MSE grid size (range_estimators.py:305)
     opt_method: OptMethod = OptMethod.grid
+    range_margin: float = 0.5  # line-search headroom (range_estimators.py:147)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ApproxConfig, QuantConfig
+from ..config import ApproxConfig, EstimatorConfig, QuantConfig
 from ..numerics.approx_matmul import approx_matmul_golden
 from ..numerics.luts import get_error_table
 from ..quant.sites import FIXED, QuantPhase, QuantSite
@@ -119,8 +119,9 @@ class _Sites:
 
     def __init__(self, module: "_QuantOpBase"):
         qc = module.qc
+        act_range = module.act_range_override or qc.act_range
         self.act = QuantSite(
-            qc.act_quantizer(module.n_bits_act), qc.act_range,
+            qc.act_quantizer(module.n_bits_act), act_range,
             name="activation_quantizer",
         )
         self.res = QuantSite(
@@ -145,6 +146,11 @@ class _QuantOpBase(nn.Module):
     # used by quant_setup variants) and the hoisted-site pattern for tied
     # pooling quantizers
     quantize_output: bool = True
+    # per-layer activation estimator override — the
+    # ``pass_data_for_range_estimation(cross_entropy_layer=...)`` analog
+    # (quantization/utils.py:82-93): e.g. give the logits layer a
+    # ``RangeMethod.cross_entropy`` estimator while the rest use the default
+    act_range_override: Optional["EstimatorConfig"] = None
 
     def _quant_in(self, sites: _Sites, x, qp: QuantPhase):
         a_bias = None

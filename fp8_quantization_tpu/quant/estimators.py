@@ -13,6 +13,10 @@ states with psum/pmin/pmax.
   search over (mantissa_bits, maxval) candidates — re-expressed as a pure
   argmin over a vmapped candidate axis instead of mutating the quantizer
   mid-search.
+* cross_entropy  ~ the estimator the reference *references* for logits
+  layers but never defines (``RangeEstimators.cross_entropy``,
+  quantization/utils.py:85-90 — that branch would crash there): a threshold
+  line search scored by softmax cross-entropy instead of MSE.
 
 ``update`` returns ``(state, ranges)`` where ranges is
 ``(x_min, x_max, mantissa_bits | None)`` — the MSE estimator also elects
@@ -153,6 +157,15 @@ def init(cfg: EstimatorConfig, qcfg: QuantizerConfig, shape,
             "mses": jnp.zeros((n_mbits, cfg.num_candidates, c), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
+    if cfg.method == RangeMethod.cross_entropy:
+        # per-tensor only: the CE is over the last (class) axis of logits
+        if per_channel:
+            raise ValueError("cross_entropy estimation is per-tensor only")
+        return {
+            "search_grid": jnp.zeros((cfg.num_candidates, 1), jnp.float32),
+            "losses": jnp.zeros((cfg.num_candidates, 1), jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
     raise NotImplementedError(cfg.method)
 
 
@@ -167,6 +180,8 @@ def update(cfg: EstimatorConfig, qcfg: QuantizerConfig, state: EstState, x,
         return _running_minmax(cfg, state, x, per_channel, channel_axis)
     if cfg.method == RangeMethod.MSE:
         return _fp_mse(cfg, qcfg, state, x, per_channel, channel_axis)
+    if cfg.method == RangeMethod.cross_entropy:
+        return _cross_entropy(cfg, qcfg, state, x)
     raise NotImplementedError(cfg.method)
 
 
@@ -255,3 +270,39 @@ def _fp_mse(cfg, qcfg, state, x, per_channel, channel_axis):
     new = {"search_grid": grid, "mses": mses, "count": state["count"] + 1}
     sign_f = sign_bits.astype(jnp.float32)
     return new, (-sign_f * maxval, maxval, best_mbits.reshape(1))
+
+
+def _cross_entropy(cfg, qcfg, state, x):
+    """Cross-entropy threshold search for logits quantizers.
+
+    1-D symmetric line search over ``num_candidates`` clipping thresholds
+    (the ``LineSearchEstimator`` scan structure, range_estimators.py:236-256,
+    losses accumulated over batches), scoring each candidate by
+    ``H(softmax(x), log_softmax(x_q))`` over the last axis instead of MSE —
+    quantizing a logits tensor should preserve its output *distribution*,
+    not its raw values. The reference names this estimator
+    (quantization/utils.py:85-90) but never defines it.
+    """
+    from . import quantizers
+
+    x = jnp.asarray(x, jnp.float32)
+    x2d = x.reshape(-1, x.shape[-1])
+    p = jax.nn.softmax(x2d, axis=-1)
+
+    mx = jnp.maximum(jnp.abs(x.min()), jnp.abs(x.max())) + cfg.range_margin
+    fresh = (jnp.arange(1, cfg.num_candidates + 1, dtype=jnp.float32)
+             / cfg.num_candidates * mx).reshape(-1, 1)
+    first = state["count"] == 0
+    grid = jnp.where(first, fresh, state["search_grid"])
+
+    def ce_for(pos):
+        st = quantizers.init(qcfg)
+        st = quantizers.set_quant_range(qcfg, st, -pos, pos)
+        xq = quantizers.apply(qcfg, st, x2d)
+        logq = jax.nn.log_softmax(xq, axis=-1)
+        return -jnp.sum(p * logq)
+
+    losses = state["losses"] + jax.vmap(ce_for)(grid[:, 0]).reshape(-1, 1)
+    x_max = grid[jnp.argmin(losses[:, 0])]
+    new = {"search_grid": grid, "losses": losses, "count": state["count"] + 1}
+    return new, (-x_max, x_max, None)

@@ -9,6 +9,7 @@ from fp8_quantization_tpu.config import (
     EstimatorConfig,
     FP8Config,
     QMethod,
+    QuantConfig,
     QuantizerConfig,
     RangeMethod,
 )
@@ -264,3 +265,93 @@ class TestLineSearch:
         # string form accepted too
         _, gs2 = line_search_ranges(x, qcfg, opt_method="golden_section")
         assert float(gs2) == float(gs_max)
+
+
+class TestCrossEntropyEstimator:
+    """RangeMethod.cross_entropy — the estimator the reference names for
+    logits layers but never defines (quantization/utils.py:85-90)."""
+
+    def _qcfg(self, n_bits=4):
+        return QuantizerConfig(method=QMethod.fp_quantizer, n_bits=n_bits,
+                               fp8=FP8Config(mantissa_bits=2))
+
+    def test_threshold_minimizes_cross_entropy(self, rng):
+        from fp8_quantization_tpu.quant import estimators, quantizers
+
+        # peaked logits: one large value per row; MSE-optimal clipping and
+        # CE-optimal clipping differ, CE must win on CE
+        logits = rng.normal(size=(64, 32)).astype(np.float32)
+        logits[np.arange(64), rng.integers(0, 32, 64)] += 8.0
+        x = jnp.asarray(logits)
+        qcfg = self._qcfg()
+        ecfg = EstimatorConfig(method=RangeMethod.cross_entropy,
+                               num_candidates=64)
+        st = estimators.init(ecfg, qcfg, x.shape, per_channel=False)
+        st, (x_min, x_max, mb) = estimators.update(ecfg, qcfg, st, x,
+                                                   per_channel=False)
+        assert mb is None
+        assert float(x_max[0]) > 0 and float(x_min[0]) == -float(x_max[0])
+
+        def ce(hi):
+            qst = quantizers.set_quant_range(qcfg, quantizers.init(qcfg),
+                                             -hi, hi)
+            xq = quantizers.apply(qcfg, qst, x)
+            p = jax.nn.softmax(x, axis=-1)
+            return float(-jnp.sum(p * jax.nn.log_softmax(xq, axis=-1)))
+
+        chosen = ce(float(x_max[0]))
+        # the chosen threshold beats both a too-small and a too-large one
+        assert chosen <= ce(float(x_max[0]) * 0.3) + 1e-5
+        assert chosen <= ce(float(x_max[0]) * 3.0) + 1e-5
+
+    def test_accumulates_over_batches(self, rng):
+        from fp8_quantization_tpu.quant import estimators
+
+        qcfg = self._qcfg()
+        ecfg = EstimatorConfig(method=RangeMethod.cross_entropy,
+                               num_candidates=32)
+        x1 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        x2 = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32) * 2)
+        st = estimators.init(ecfg, qcfg, x1.shape, per_channel=False)
+        st, _ = estimators.update(ecfg, qcfg, st, x1, per_channel=False)
+        grid_after_1 = np.asarray(st["search_grid"])
+        st, (lo, hi, _) = estimators.update(ecfg, qcfg, st, x2,
+                                            per_channel=False)
+        # grid frozen after the first batch; losses accumulated
+        np.testing.assert_array_equal(np.asarray(st["search_grid"]),
+                                      grid_after_1)
+        assert int(st["count"]) == 2
+
+    def test_per_channel_rejected(self):
+        from fp8_quantization_tpu.quant import estimators
+
+        qcfg = self._qcfg()
+        ecfg = EstimatorConfig(method=RangeMethod.cross_entropy)
+        with pytest.raises(ValueError):
+            estimators.init(ecfg, qcfg, (4, 8), per_channel=True)
+
+    def test_layer_override_calibrates_logits_site(self, rng):
+        """act_range_override: the cross_entropy_layer analog on a logits
+        QuantDense (output quantizer)."""
+        from fp8_quantization_tpu.ops.layers import QuantDense
+        from fp8_quantization_tpu.quant import ESTIMATE, FIXED
+
+        qc = QuantConfig(
+            method=QMethod.fp_quantizer,
+            quantize_input=False,  # output-quantizer position
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            fp8=FP8Config(mantissa_bits=3),
+        )
+        layer = QuantDense(
+            qc=qc, features=16,
+            act_range_override=EstimatorConfig(
+                RangeMethod.cross_entropy, num_candidates=48),
+        )
+        x = jnp.asarray(rng.normal(size=(8, 12)).astype(np.float32))
+        v = layer.init(jax.random.key(0), x, ESTIMATE)
+        _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+        v = {**v, **ups}
+        est = v["quant_est"]["activation_quantizer"]["est"]
+        assert "losses" in est  # CE state, not minmax
+        out = layer.apply(v, x, FIXED)
+        assert np.isfinite(np.asarray(out)).all()

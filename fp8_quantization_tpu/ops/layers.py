@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import ApproxConfig, EstimatorConfig, QuantConfig
+from ..config import ApproxConfig, EstimatorConfig, QMethod, QuantConfig
 from ..numerics.approx_matmul import approx_matmul_golden
 from ..numerics.luts import get_error_table
 from ..quant.sites import FIXED, QuantPhase, QuantSite
@@ -202,6 +202,25 @@ class _QuantOpBase(nn.Module):
             mant_width=mant,
         )
 
+    def _int8_weights(self, qp: QuantPhase):
+        """Native-int8 MXU serving path (``qp.packed`` with uniform
+        quantizers): frozen int8 weight codes from ``pack_dense_caches``, or
+        None (falls through). Requires per-tensor quantized inputs — the
+        activation codes feed the same int8 dot."""
+        if not (qp.packed and qp.quant_w and qp.quant_a and not qp.estimating
+                and self.qc.quantize_input
+                and not self._special_armed()
+                and self.has_variable("quant_cache", "w_i8")):
+            return None
+        from .fastpath import Int8Weights
+
+        return Int8Weights(
+            codes=self.get_variable("quant_cache", "w_i8"),
+            scale=self.get_variable("quant_cache", "w_i8_scale"),
+            zp=self.get_variable("quant_cache", "w_i8_zp"),
+            wsum=self.get_variable("quant_cache", "w_i8_sum"),
+        )
+
     def _special_armed(self) -> bool:
         rm = self.qc.run_method
         return rm.res_quantizer_flag and (
@@ -251,6 +270,28 @@ class QuantDense(_QuantOpBase):
         return self._tail(sites, res, qp)
 
     def _dense_body(self, sites: _Sites, x, qp: QuantPhase):
+        iw = self._int8_weights(qp)
+        if iw is not None:
+            # native int8 MXU: activation codes x weight codes accumulate
+            # exactly in int32 at 2x the bf16 matmul throughput (v5e)
+            from .fastpath import quantize_acts_int8, quantized_matmul_int8
+
+            s, zp, lo, hi = sites.act.uniform_int_params()
+            x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            codes, cx = quantize_acts_int8(x2d, s[0], zp[0], lo[0], hi[0])
+            out2d = quantized_matmul_int8(
+                codes, iw, s[0], cx,
+                w_has_zp=self.qc.method != QMethod.symmetric_uniform,
+            )
+            res = out2d.reshape(*x.shape[:-1], self.features)
+            if self.use_bias:
+                res = res + self.param(
+                    "bias", nn.initializers.zeros_init(), (self.features,)
+                )
+            if qp.quant_a and self.qc.run_method.res_quantizer_flag:
+                res = sites.res(res, qp)
+            return res
+
         pw = self._packed_weights(qp)
         if pw is not None:
             # real-8-bit serving: weights stay 1 byte in HBM, decoded to bf16

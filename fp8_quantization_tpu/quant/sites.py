@@ -156,3 +156,18 @@ class QuantSite(nn.Module):
             lax.bitcast_convert_type(mv, jnp.int32), 23) & 0xFF) - 127
         fits = (e_ieee + bias) <= (1 << expo) - 1
         return jnp.where(fits, bias, bias - 1)
+
+    def uniform_int_params(self):
+        """Scalars for the int8 MXU fast path (``fastpath.quantize_acts_int8``):
+        (scale, zero_point, int_min, int_max) from the frozen uniform state."""
+        q = self.get_variable("quant", "q")
+        scale = quantizers._uniform_scale(self.qcfg, q["delta"])
+        if self.qcfg.method == QMethod.symmetric_uniform:
+            int_min, int_max = quantizers._sym_int_bounds(self.qcfg,
+                                                          q["signed"])
+            zp = jnp.zeros_like(scale)
+        else:
+            int_min = jnp.zeros((1,), jnp.float32)
+            int_max = jnp.full((1,), 2.0 ** self.qcfg.n_bits - 1, jnp.float32)
+            zp = jnp.clip(jnp.round(q["zero_float"]), int_min, int_max)
+        return scale, zp, int_min, int_max

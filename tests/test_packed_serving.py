@@ -331,3 +331,108 @@ def test_packed_kv_paged_matches_dense(rng):
     assert paged.k_pages.dtype == jnp.uint8
     np.testing.assert_allclose(np.asarray(ld), np.asarray(lp),
                                rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# native int8 MXU path (uniform quantizers)
+# --------------------------------------------------------------------------
+
+def _qc_uniform(method=QMethod.symmetric_uniform, n_bits=8,
+                res_quant=False):
+    # res_quant off by default for tight comparisons: the int8 dot is MORE
+    # exact than the simulated f32 dot, and any sub-ULP difference near a
+    # res-requant rounding boundary amplifies to a full requant step
+    return QuantConfig(
+        method=method,
+        n_bits=n_bits,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        run_method=RunMethodConfig(res_quantizer_flag=res_quant,
+                                   original_quantize_res=res_quant),
+    )
+
+
+def _calibrated_uniform_dense(rng, method, n_bits=8, in_f=32, out_f=48,
+                              shift_acts=0.0, res_quant=False):
+    layer = QuantDense(qc=_qc_uniform(method, n_bits, res_quant),
+                       features=out_f)
+    x = jnp.asarray(rng.normal(size=(8, in_f)) + shift_acts, jnp.float32)
+    v = layer.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True)
+    _, ups = layer.apply(v, x, cache_qp, mutable=["quant_cache"])
+    return layer, {**v, **ups}, x
+
+
+@pytest.mark.parametrize("method,n_bits,shift", [
+    (QMethod.symmetric_uniform, 8, 0.0),
+    (QMethod.symmetric_uniform, 8, 5.0),   # unsigned detection
+    (QMethod.symmetric_uniform, 4, 0.0),
+    (QMethod.asymmetric_uniform, 8, 1.0),  # zero-point correction path
+])
+def test_int8_path_matches_simulation(method, n_bits, shift, rng):
+    """The int8-MXU path reproduces the simulated uniform path. The integer
+    dot accumulates exactly in int32, so only the simulation's f32 product
+    rounding differs — near-equality with tight tolerance."""
+    from fp8_quantization_tpu.quant.sites import FIXED
+
+    layer, v, x = _calibrated_uniform_dense(rng, method, n_bits,
+                                            shift_acts=shift)
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert report and all(f == 1.0 for f in report.values()), report
+    out_sim = np.asarray(layer.apply(v, x, FIXED), np.float32)
+    out_i8 = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    np.testing.assert_allclose(out_i8, out_sim, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_path_with_res_quantizer(rng):
+    """With the res quantizer armed, the int8 and simulated paths may land
+    on adjacent requant levels near rounding boundaries — differences are
+    bounded by one res step and rare."""
+    from fp8_quantization_tpu.quant.sites import FIXED
+
+    layer, v, x = _calibrated_uniform_dense(
+        rng, QMethod.symmetric_uniform, res_quant=True)
+    vp, _ = pack_dense_caches(v, layer.qc)
+    out_sim = np.asarray(layer.apply(v, x, FIXED), np.float32)
+    out_i8 = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    res_q = v["quant"]["res_quantizer"]["q"]
+    step = float(np.maximum(np.asarray(res_q["delta"])[0], 1e-8))
+    diff = np.abs(out_i8 - out_sim)
+    assert diff.max() <= step * 1.001
+    assert (diff > step * 0.5).mean() < 0.05  # boundary crossings are rare
+
+
+def test_int8_strip_and_report(rng):
+    layer, v, _ = _calibrated_uniform_dense(rng, QMethod.symmetric_uniform)
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert vp["quant_cache"]["w_i8"].dtype == jnp.int8
+    vs = strip_packed_params(vp)
+    assert "kernel" not in vs["params"] and "w_q" not in vs["quant_cache"]
+    x = jnp.asarray(np.zeros((2, 32)), jnp.float32)
+    out = layer.apply(vs, x, PACKED)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_int8_exact_integer_accumulation(rng):
+    """With scales forced to powers of two the int8 path is bit-exact vs a
+    float oracle computed in f64."""
+    from fp8_quantization_tpu.ops.fastpath import (Int8Weights,
+                                                   quantize_acts_int8,
+                                                   quantized_matmul_int8)
+
+    k, n = 64, 32
+    wi = rng.integers(-128, 128, size=(k, n)).astype(np.int8)
+    xi = rng.integers(-128, 128, size=(8, k)).astype(np.int8)
+    sw = np.full((n,), 2.0 ** -9, np.float32)
+    sx = np.float32(2.0 ** -7)
+    w = Int8Weights(codes=jnp.asarray(wi), scale=jnp.asarray(sw),
+                    zp=jnp.full((n,), 128.0, jnp.float32),
+                    wsum=jnp.asarray(wi.astype(np.int32).sum(0)))
+    out = quantized_matmul_int8(jnp.asarray(xi), w, sx, jnp.float32(0.0))
+    oracle = (xi.astype(np.float64) @ wi.astype(np.float64)) * (
+        float(sx) * sw.astype(np.float64)[None, :])
+    np.testing.assert_array_equal(np.asarray(out, np.float64), oracle)

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--fast-mode", action="store_true",
                        help="evaluate in the bf16 fast inference mode "
                             "(quant sites emit bf16; matmuls accumulate f32)")
+        p.add_argument("--packed-weights", action="store_true",
+                       help="freeze + byte-pack dense weights before eval "
+                            "(FP: 1-byte ExMy codes + fused dequant kernel; "
+                            "uniform: native int8 MXU path)")
         p.add_argument("--native-loader", action="store_true",
                        help="decode/preprocess val batches in the C++ "
                             "thread pool (runtime/libimage_loader.so)")
@@ -387,6 +391,9 @@ def run_validate(args) -> dict:
             quant_w=args.weight_quant,
             quant_a=args.act_quant,
             fast=getattr(args, "fast_mode", False),
+            packed=getattr(args, "packed_weights", False),
+            qc=qc,
+            calib_example=example,
             bn_reestimate_batches=bn_batches,
         )
     finally:

@@ -132,14 +132,18 @@ def evaluate(
     quant_w: bool = True,
     quant_a: bool = True,
     fast: bool = False,
+    packed: bool = False,
     topk: int = 5,
     model_kwargs: Optional[dict] = None,
 ) -> Dict[str, float]:
     """Jitted eval loop with accumulator metrics (image_net.py:129-181).
     ``fast=True`` evaluates in the bf16 fast inference mode (QuantPhase.fast;
-    pair with weights cached via ``cache_quantized_weights(fast=True)``)."""
+    pair with weights cached via ``cache_quantized_weights(fast=True)``).
+    ``packed=True`` additionally uses byte-packed weight codes installed by
+    ``ops.fastpath.pack_dense_caches`` (FP: Pallas dequant matmul; uniform:
+    native int8 MXU); layers without codes fall through."""
     qp = QuantPhase(phase="fixed", quant_w=quant_w, quant_a=quant_a,
-                    fast=fast)
+                    fast=fast, packed=packed)
     model_kwargs = model_kwargs or {}
 
     # variables are a traced argument (not a closure) so repeated evaluate()
@@ -165,10 +169,18 @@ def validate_quantized(
     quant_w: bool = True,
     quant_a: bool = True,
     fast: bool = False,
+    packed: bool = False,
+    qc=None,
+    calib_example=None,
     bn_reestimate_batches: Optional[Iterable[Any]] = None,
     model_kwargs: Optional[dict] = None,
 ) -> Tuple[Dict[str, float], dict]:
     """The full validate-quantized pipeline (image_net.py:59-203).
+
+    ``packed=True`` (requires ``qc`` + ``calib_example``) additionally
+    freezes the quantized weights and installs byte-packed codes
+    (``ops.fastpath.pack_dense_caches``) before evaluating with
+    ``QuantPhase.packed`` — real 8-bit storage / the int8 MXU path.
 
     Returns (final_metrics, calibrated variables).
     """
@@ -181,9 +193,19 @@ def validate_quantized(
             model, variables, bn_reestimate_batches,
             quant_w=quant_w, quant_a=quant_a, model_kwargs=model_kwargs,
         )
+    if packed:
+        if qc is None or calib_example is None:
+            raise ValueError("packed eval needs qc and calib_example")
+        from ..ops.fastpath import pack_dense_caches
+
+        variables = cache_quantized_weights(
+            model, variables, calib_example, quant_a=quant_a, fast=fast,
+            model_kwargs=model_kwargs,
+        )
+        variables, _report = pack_dense_caches(variables, qc)
     metrics = evaluate(
         model, variables, eval_batches,
-        quant_w=quant_w, quant_a=quant_a, fast=fast,
+        quant_w=quant_w, quant_a=quant_a, fast=fast, packed=packed,
         model_kwargs=model_kwargs,
     )
     return metrics, variables

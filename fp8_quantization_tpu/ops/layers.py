@@ -164,9 +164,12 @@ class _QuantOpBase(nn.Module):
         # frozen-weight cache: after calibration, weights are static, so the
         # quantized kernel (and its FP bias) can be materialized once into
         # the ``quant_cache`` collection and reused every forward
+        # bf16 weight storage is lossless only for FP (ExMy) grids; uniform
+        # grids are not bf16-exact, so fast mode keeps them f32
+        fast_bf16 = qp.fast and self.qc.method == QMethod.fp_quantizer
         if qp.cache_weights:
             w, w_bias = sites.weight(kernel, qp, with_bias=True)
-            if qp.fast:
+            if fast_bf16:
                 w = w.astype(jnp.bfloat16)  # grid values: lossless
             wb = w_bias if w_bias is not None else jnp.zeros((0,), jnp.float32)
             cw = self.variable("quant_cache", "w_q", lambda: w)
@@ -177,8 +180,10 @@ class _QuantOpBase(nn.Module):
         if not qp.estimating and self.has_variable("quant_cache", "w_q"):
             w = self.get_variable("quant_cache", "w_q")
             wb = self.get_variable("quant_cache", "w_bias")
-            if qp.fast:
+            if fast_bf16:
                 w = w.astype(jnp.bfloat16)
+            elif qp.fast and w.dtype == jnp.bfloat16:
+                w = w.astype(jnp.float32)
             return w, (wb if wb.size else None)
         return sites.weight(kernel, qp, with_bias=True)
 

@@ -27,6 +27,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--depths", type=int, nargs=2, default=(2, 6))
+    p.add_argument("--int8", action="store_true",
+                   help="uniform symmetric INT8 config on the native int8 "
+                        "MXU (qp.packed) instead of the FP8 modes")
     args = p.parse_args(argv)
 
     from fp8_quantization_tpu.config import (
@@ -40,16 +43,26 @@ def main(argv=None):
     from fp8_quantization_tpu.models.vit import QuantizedViT
     from fp8_quantization_tpu.quant import ESTIMATE, QuantPhase
 
-    qc = QuantConfig(
-        method=QMethod.fp_quantizer,
-        per_channel_weights=True,
-        quantize_input=True,
-        weight_range=EstimatorConfig(RangeMethod.current_minmax),
-        act_range=EstimatorConfig(RangeMethod.allminmax),
-        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
-        run_method=RunMethodConfig(res_quantizer_flag=True,
-                                   original_quantize_res=True),
-    )
+    if args.int8:
+        qc = QuantConfig(
+            method=QMethod.symmetric_uniform,
+            per_channel_weights=True,
+            quantize_input=True,
+            weight_range=EstimatorConfig(RangeMethod.current_minmax),
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            run_method=RunMethodConfig(),
+        )
+    else:
+        qc = QuantConfig(
+            method=QMethod.fp_quantizer,
+            per_channel_weights=True,
+            quantize_input=True,
+            weight_range=EstimatorConfig(RangeMethod.current_minmax),
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+            run_method=RunMethodConfig(res_quantizer_flag=True,
+                                       original_quantize_res=True),
+        )
     model = QuantizedViT(qc=qc)
     rng = np.random.default_rng(10)
     b = args.batch_size
@@ -93,20 +106,34 @@ def main(argv=None):
         n0, n1 = args.depths
         return (ts[n1] - ts[n0]) / (n1 - n0)
 
-    results = {}
-    for name, qp, vs in [
+    modes = [
         ("fp32", QuantPhase(phase="fixed", quant_w=False, quant_a=False),
          variables),
         ("fixed", QuantPhase(phase="fixed"), variables),
         ("cached", QuantPhase(phase="fixed"), cached_vars),
         ("fast", QuantPhase(phase="fixed", fast=True), fast_vars),
-    ]:
+    ]
+    if args.int8:
+        from fp8_quantization_tpu.ops.fastpath import (
+            pack_dense_caches, strip_packed_params)
+
+        i8_vars, report = pack_dense_caches(cached_vars, qc)
+        i8_vars = strip_packed_params(i8_vars)
+        print(f"int8-packed {len(report)} dense layers", flush=True)
+        modes.append(("int8", QuantPhase(phase="fixed", fast=True,
+                                         packed=True), i8_vars))
+
+    results = {}
+    for name, qp, vs in modes:
         t = slope(chained(qp), vs)
         results[name] = b / t
         print(f"{name:6s}: {t * 1e3:8.2f} ms/batch = {b / t:8.1f} imgs/sec",
               flush=True)
 
     print(f"\nquantized vs fp32: {results['fast'] / results['fp32']:.3f}x")
+    if "int8" in results:
+        print(f"int8 vs fast: {results['int8'] / results['fast']:.3f}x; "
+              f"int8 vs fp32: {results['int8'] / results['fp32']:.3f}x")
 
 
 if __name__ == "__main__":

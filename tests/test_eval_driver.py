@@ -112,3 +112,31 @@ class TestDemoE2E:
         for (xa, ya), (xb, yb) in zip(a, b):
             np.testing.assert_array_equal(xa, xb)
             np.testing.assert_array_equal(ya, yb)
+
+    def test_validate_quantized_demo_packed(self, rng):
+        """--packed-weights pipeline: calibrate -> freeze -> byte-pack ->
+        evaluate under QuantPhase.packed, for both quantizer families."""
+        for method in (QMethod.fp_quantizer, QMethod.symmetric_uniform):
+            qc = _qc() if method == QMethod.fp_quantizer else QuantConfig(
+                method=method, quantize_input=True,
+                weight_range=EstimatorConfig(RangeMethod.current_minmax),
+                act_range=EstimatorConfig(RangeMethod.allminmax),
+                run_method=RunMethodConfig())
+            model = QuantizedDemoModel(qc=qc)
+            x0 = jnp.zeros((4, 10), jnp.float32)
+            variables = model.init(jax.random.key(0), x0, ESTIMATE)
+            calib = [rng.normal(size=(4, 10)).astype(np.float32)]
+            eval_batches = [
+                (rng.normal(size=(4, 10)).astype(np.float32),
+                 rng.integers(0, 10, size=(4,)))
+                for _ in range(2)
+            ]
+            m_packed, vp = validate_quantized(
+                model, variables, calib, eval_batches, num_est_batches=1,
+                packed=True, qc=qc, calib_example=x0,
+            )
+            m_plain = evaluate(model, vp, eval_batches)
+            assert set(m_packed) == {"top_1_accuracy", "top_5_accuracy",
+                                     "loss"}
+            # packed logits track the plain path closely on this tiny model
+            assert abs(m_packed["loss"] - m_plain["loss"]) < 0.05

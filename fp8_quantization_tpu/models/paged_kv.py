@@ -30,6 +30,7 @@ import numpy as np
 
 from ..quant.sites import FIXED, QuantPhase
 from .llama import LlamaSpec
+from .sampling import GREEDY, SamplingParams, sample_tokens
 
 
 class PagedKVCache(NamedTuple):
@@ -98,7 +99,8 @@ class PagedBatcher:
     def __init__(self, model, variables, spec: LlamaSpec, *, slots: int = 4,
                  num_pages: int = 64, page_size: int = 16,
                  max_seq: Optional[int] = None, eos_token: int = -1,
-                 qp: QuantPhase = FIXED):
+                 qp: QuantPhase = FIXED,
+                 sampling: SamplingParams = GREEDY, seed: int = 0):
         self.model = model
         self.variables = variables
         self.spec = spec
@@ -126,13 +128,21 @@ class PagedBatcher:
         # donate the cache: the page pools are updated in place by the decode
         # scatter instead of being copied every step (page_table/length are
         # rebuilt from host state each step, so only the pools matter)
+        self.sampling = sampling
+        self._key = jax.random.key(seed)
+        self._step_count = 0
+
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step(variables, tokens, cache):
+        def decode_step(variables, tokens, cache, key):
             logits, cache = model.apply(variables, tokens, cache, qp)
-            return jnp.argmax(logits[:, -1, :], axis=-1), cache
+            return sample_tokens(logits[:, -1, :], sampling, key), cache
 
         self._decode = decode_step
         self._prefill_jit = {}
+
+    def _next_key(self):
+        self._step_count += 1
+        return jax.random.fold_in(self._key, self._step_count)
 
     # -- page bookkeeping ---------------------------------------------------
 
@@ -170,18 +180,19 @@ class PagedBatcher:
         tokens[0, :real] = prompt
 
         if t_pad not in self._prefill_jit:
-            model, qp = self.model, self.qp
+            model, qp, sampling = self.model, self.qp, self.sampling
 
             @jax.jit
-            def prefill(variables, tokens, cache, real_len):
+            def prefill(variables, tokens, cache, real_len, key):
                 # batch-1 prefill over the slot's page-table row only: the
                 # page pool is shared, so writes land in the slot's pages
                 # without touching other slots' cached KV. chunk_attention:
                 # attend over the prompt chunk, not the gathered logical view
                 logits, cache = model.apply(variables, tokens, cache, qp,
                                             chunk_attention=True)
-                return (jnp.argmax(logits[0, real_len - 1, :]),
-                        cache.k_pages, cache.v_pages)
+                next_tok = sample_tokens(logits[:1, real_len - 1, :],
+                                         sampling, key)[0]
+                return next_tok, cache.k_pages, cache.v_pages
 
             self._prefill_jit[t_pad] = prefill
 
@@ -192,7 +203,7 @@ class PagedBatcher:
         )
         next_tok, self.k_pages, self.v_pages = self._prefill_jit[t_pad](
             self.variables, jnp.asarray(tokens), slot_cache,
-            jnp.asarray(real))
+            jnp.asarray(real), self._next_key())
 
         self.lengths[slot] = real
         first = int(next_tok)
@@ -214,7 +225,8 @@ class PagedBatcher:
             self._ensure_pages(s, int(self.lengths[s]) + 1)
 
         next_tokens, cache = self._decode(self.variables,
-                                          jnp.asarray(tokens), self._cache())
+                                          jnp.asarray(tokens), self._cache(),
+                                          self._next_key())
         self.k_pages, self.v_pages = cache.k_pages, cache.v_pages
 
         out: Dict[int, int] = {}

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..quant.sites import FIXED, QuantPhase
 from .llama import KVCache, LlamaSpec
+from .sampling import GREEDY, SamplingParams, sample_tokens
 
 
 def _pad_to_bucket(n: int, bucket: int = 16) -> int:
@@ -31,7 +32,8 @@ class ContinuousBatcher:
 
     def __init__(self, model, variables, spec: LlamaSpec, *, slots: int = 4,
                  max_seq: Optional[int] = None, eos_token: int = -1,
-                 qp: QuantPhase = FIXED, mesh=None):
+                 qp: QuantPhase = FIXED, mesh=None,
+                 sampling: SamplingParams = GREEDY, seed: int = 0):
         """``mesh``: optional ``jax.sharding.Mesh`` with (data, model) axes —
         SURVEY §7 build order #8 ("continuous batching across hosts"): slots
         shard over ``data``, weights/per-channel quant params over ``model``
@@ -74,11 +76,14 @@ class ContinuousBatcher:
         self.cache = cache
         self.free: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
+        self.sampling = sampling
+        self._key = jax.random.key(seed)
+        self._step_count = 0
 
         import functools
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def decode_step(variables, tokens, cache, keep):
+        def decode_step(variables, tokens, cache, keep, key):
             logits, new_cache = model.apply(variables, tokens, cache, qp)
             # idle slots run the step too (fixed-shape SPMD program) but must
             # not advance: their cache writes land at their frozen length and
@@ -89,23 +94,28 @@ class ContinuousBatcher:
             t = tokens.shape[1]
             length = jnp.where(keep, new_cache.length, new_cache.length - t)
             new_cache = new_cache._replace(length=length)
-            return jnp.argmax(logits[:, -1, :], axis=-1), new_cache
+            return sample_tokens(logits[:, -1, :], sampling, key), new_cache
 
         self._decode = decode_step
         self._prefill_cache = {}
 
+    def _next_key(self):
+        self._step_count += 1
+        return jax.random.fold_in(self._key, self._step_count)
+
     def _prefill_fn(self, t_pad: int):
         if t_pad not in self._prefill_cache:
-            model, qp = self.model, self.qp
+            model, qp, sampling = self.model, self.qp, self.sampling
 
             @jax.jit
-            def prefill(variables, tokens, k, v, real_len):
+            def prefill(variables, tokens, k, v, real_len, key):
                 sub = KVCache(k=k, v=v, length=jnp.zeros((1,), jnp.int32))
                 # chunk_attention: empty-cache prefill attends over the
                 # prompt chunk only, not the padded max_seq slab
                 logits, sub = model.apply(variables, tokens, sub, qp,
                                           chunk_attention=True)
-                next_tok = jnp.argmax(logits[0, real_len - 1, :])
+                next_tok = sample_tokens(logits[:1, real_len - 1, :],
+                                         sampling, key)[0]
                 return next_tok, sub.k, sub.v
 
             self._prefill_cache[t_pad] = prefill
@@ -125,7 +135,7 @@ class ContinuousBatcher:
         v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1, axis=1)
         next_tok, k_new, v_new = self._prefill_fn(t_pad)(
             self.variables, jnp.asarray(tokens), k_slot, v_slot,
-            jnp.asarray(real),
+            jnp.asarray(real), self._next_key(),
         )
         self.cache = KVCache(
             k=jax.lax.dynamic_update_slice_in_dim(self.cache.k, k_new, slot,
@@ -158,7 +168,7 @@ class ContinuousBatcher:
         keep[live] = True
         next_tokens, self.cache = self._decode(
             self.variables, jnp.asarray(tokens), self.cache,
-            jnp.asarray(keep),
+            jnp.asarray(keep), self._next_key(),
         )
 
         out: Dict[int, int] = {}

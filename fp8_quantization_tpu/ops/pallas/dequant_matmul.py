@@ -23,6 +23,12 @@ magnitude. ``PackedWeights.exact_fraction`` reports the split.
 Grid: (M/bm, N/bn, K/bk), K innermost, f32 VMEM accumulator — the same
 schedule as ``fused_matmul.py``; the per-channel packing bias rides along the
 N axis as a (1, bn) int32 block.
+
+Sharding note: under a multi-chip mesh GSPMD cannot partition a custom call,
+so a pallas dequant matmul with model-sharded codes is gathered/replicated
+per chip (correct, no TP speedup); wrap in ``shard_map`` for true tensor
+parallelism. The int8 MXU path (``fastpath.quantized_matmul_int8``) is pure
+XLA ops and partitions natively.
 """
 
 from __future__ import annotations

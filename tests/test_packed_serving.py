@@ -436,3 +436,62 @@ def test_int8_exact_integer_accumulation(rng):
     oracle = (xi.astype(np.float64) @ wi.astype(np.float64)) * (
         float(sx) * sw.astype(np.float64)[None, :])
     np.testing.assert_array_equal(np.asarray(out, np.float64), oracle)
+
+
+def test_packed_sharded_batcher_matches_single_device(rng):
+    """Packed weights + packed KV under a (data, model) mesh: the generic
+    channel-last sharding rule covers the byte-code tensors (codes (K, N),
+    pack bias / scales (N,)); tokens match the single-device run."""
+    from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+    from fp8_quantization_tpu.parallel import make_mesh
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    model = QuantizedLlama(qc=_qc(), spec=spec, packed_kv=True)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 8)), jnp.int32)
+    cache0 = KVCache.zeros(spec, 2, spec.max_seq_len, dtype=jnp.uint8)
+    v = model.init(jax.random.key(0), toks, cache0, ESTIMATE)
+    _, ups = model.apply(v, toks, cache0, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+    _, ups = model.apply(v, toks, cache0, warm, mutable=["quant_cache"])
+    v = {**v, **ups}
+    vp, _ = pack_dense_caches(v, model.qc)
+    vp = strip_packed_params(vp)
+
+    prompts = [[1, 2, 3], [7, 8, 9, 10]]
+
+    def run(mesh):
+        b = ContinuousBatcher(model, vp, spec, slots=2,
+                              max_seq=spec.max_seq_len, qp=PACKED, mesh=mesh)
+        slots = [b.admit(p, max_new_tokens=5) for p in prompts]
+        b.run_to_completion()
+        assert b.cache.k.dtype == jnp.uint8
+        return [b.retire(s) for s in slots]
+
+    want = run(None)
+    got = run(make_mesh(data=2, model=2))
+    assert got == want
+
+
+def test_packed_variables_checkpoint_roundtrip(rng, tmp_path):
+    """Packed byte-code variables (uint8/int8 leaves) survive an orbax
+    checkpoint round trip bit-for-bit."""
+    from fp8_quantization_tpu.utils import checkpoint as ckpt
+
+    layer, v, x = _calibrated_dense(rng)
+    vp, _ = pack_dense_caches(v, layer.qc)
+    vp = strip_packed_params(vp)
+    path = str(tmp_path / "packed_ckpt")
+    ckpt.save_checkpoint(path, vp)
+    restored = ckpt.load_checkpoint(path, template=vp)
+    flat_a = jax.tree_util.tree_leaves_with_path(vp)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(restored))
+    for key, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[key]))
+    out_a = np.asarray(layer.apply(vp, x, PACKED))
+    out_b = np.asarray(layer.apply(restored, x, PACKED))
+    np.testing.assert_array_equal(out_a, out_b)

@@ -1,0 +1,83 @@
+"""Prefix caching: reuse prefilled KV across requests sharing a prompt prefix.
+
+Green-field serving capability (vLLM-style "automatic prefix caching"
+re-thought for the fixed-shape XLA serving step): system prompts and few-shot
+headers repeat across requests, so their KV is computed once, kept on device,
+and copied into a slot at admission — the prefill then runs only over the
+remainder tokens with ``cache.length`` starting at the prefix length (the
+decoder's normal cache-attention path; bitwise the same values the full
+prefill would have produced, since prefix KV depends only on prefix tokens).
+
+Prefixes are stored at bucket granularity (multiples of ``bucket``) so a
+cached entry serves every prompt sharing at least that many leading tokens,
+and lookups pick the longest stored bucket that matches. Eviction is plain
+LRU on a token budget.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class PrefixCache:
+    """Host-side LRU over on-device prefix KV slabs.
+
+    Entries map ``tuple(prompt[:L])`` (L a bucket multiple) to
+    ``(k, v)`` arrays of shape (layers, 1, L, H_kv, D) — the same layout a
+    batch-1 slice of the dense ``KVCache`` has, in the cache's dtype (bf16 or
+    packed uint8 codes).
+    """
+
+    def __init__(self, max_tokens: int = 4096, bucket: int = 16):
+        self.max_tokens = max_tokens
+        self.bucket = bucket
+        self._entries: "OrderedDict[Tuple[int, ...], Tuple]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def cached_tokens(self) -> int:
+        return sum(len(k) for k in self._entries)
+
+    def lookup(self, prompt: List[int]) -> Optional[Tuple[int, jnp.ndarray,
+                                                          jnp.ndarray]]:
+        """Longest stored prefix of ``prompt``; returns (len, k, v) or None.
+
+        Only proper prefixes are returned (len < len(prompt)) so admission
+        always has at least one token to prefill (it needs the next-token
+        logits at the prompt's last position).
+        """
+        best = None
+        for key in self._entries:
+            lp = len(key)
+            if (lp < len(prompt) and (best is None or lp > best)
+                    and tuple(prompt[:lp]) == key):
+                best = lp
+        if best is None:
+            self.misses += 1
+            return None
+        key = tuple(prompt[:best])
+        self._entries.move_to_end(key)
+        self.hits += 1
+        k, v = self._entries[key]
+        return best, k, v
+
+    def store(self, prompt: List[int], k_slab, v_slab) -> int:
+        """Cache the bucket-truncated prefix of ``prompt``; the slabs are
+        (layers, 1, >=L, H_kv, D) slot slices. Returns the stored length
+        (0 when the prompt is shorter than one bucket)."""
+        lb = (len(prompt) // self.bucket) * self.bucket
+        if lb == 0:
+            return 0
+        key = tuple(prompt[:lb])
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return lb
+        self._entries[key] = (k_slab[:, :, :lb], v_slab[:, :, :lb])
+        self._entries.move_to_end(key)
+        while self.cached_tokens > self.max_tokens and len(self._entries) > 1:
+            self._entries.popitem(last=False)
+        return lb

@@ -33,7 +33,8 @@ class ContinuousBatcher:
     def __init__(self, model, variables, spec: LlamaSpec, *, slots: int = 4,
                  max_seq: Optional[int] = None, eos_token: int = -1,
                  qp: QuantPhase = FIXED, mesh=None,
-                 sampling: SamplingParams = GREEDY, seed: int = 0):
+                 sampling: SamplingParams = GREEDY, seed: int = 0,
+                 prefix_cache=None):
         """``mesh``: optional ``jax.sharding.Mesh`` with (data, model) axes —
         SURVEY §7 build order #8 ("continuous batching across hosts"): slots
         shard over ``data``, weights/per-channel quant params over ``model``
@@ -79,6 +80,10 @@ class ContinuousBatcher:
         self.sampling = sampling
         self._key = jax.random.key(seed)
         self._step_count = 0
+        # optional models/prefix_cache.PrefixCache: shared prompt prefixes
+        # are prefilled once; admissions copy the cached KV and prefill only
+        # the remainder (see admit)
+        self.prefix_cache = prefix_cache
 
         import functools
 
@@ -121,22 +126,73 @@ class ContinuousBatcher:
             self._prefill_cache[t_pad] = prefill
         return self._prefill_cache[t_pad]
 
+    def _resume_prefill_fn(self, t_pad: int):
+        """Prefill continuing after a cached prefix (cache-attention path)."""
+        key = ("resume", t_pad)
+        if key not in self._prefill_cache:
+            model, qp, sampling = self.model, self.qp, self.sampling
+
+            @jax.jit
+            def prefill(variables, tokens, k, v, start_len, real_len, rkey):
+                sub = KVCache(k=k, v=v,
+                              length=start_len[None].astype(jnp.int32))
+                logits, sub = model.apply(variables, tokens, sub, qp)
+                next_tok = sample_tokens(logits[:1, real_len - 1, :],
+                                         sampling, rkey)[0]
+                return next_tok, sub.k, sub.v
+
+            self._prefill_cache[key] = prefill
+        return self._prefill_cache[key]
+
     def admit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
-        """Prefill a prompt into a free slot; returns the slot id."""
+        """Prefill a prompt into a free slot; returns the slot id.
+
+        With a ``prefix_cache``, the longest cached prefix's KV is copied
+        into the slot and only the remainder tokens are prefilled (value-
+        identical: prefix KV depends only on prefix tokens, and the cache-
+        attention path matches the chunk path bitwise)."""
         if not self.free:
             raise RuntimeError("no free slots")
         slot = self.free.pop(0)
         real = len(prompt)
-        t_pad = _pad_to_bucket(real)
-        tokens = np.zeros((1, t_pad), np.int32)
-        tokens[0, :real] = prompt
 
-        k_slot = jax.lax.dynamic_slice_in_dim(self.cache.k, slot, 1, axis=1)
-        v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1, axis=1)
-        next_tok, k_new, v_new = self._prefill_fn(t_pad)(
-            self.variables, jnp.asarray(tokens), k_slot, v_slot,
-            jnp.asarray(real), self._next_key(),
-        )
+        pref = self.prefix_cache.lookup(prompt) if self.prefix_cache else None
+        if pref is not None:
+            lp, k_pref, v_pref = pref
+            self.cache = KVCache(
+                k=jax.lax.dynamic_update_slice(
+                    self.cache.k, k_pref, (0, slot, 0, 0, 0)),
+                v=jax.lax.dynamic_update_slice(
+                    self.cache.v, v_pref, (0, slot, 0, 0, 0)),
+                length=self.cache.length,
+            )
+            rem = prompt[lp:]
+            t_pad = _pad_to_bucket(len(rem))
+            tokens = np.zeros((1, t_pad), np.int32)
+            tokens[0, : len(rem)] = rem
+            k_slot = jax.lax.dynamic_slice_in_dim(self.cache.k, slot, 1,
+                                                  axis=1)
+            v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1,
+                                                  axis=1)
+            next_tok, k_new, v_new = self._resume_prefill_fn(t_pad)(
+                self.variables, jnp.asarray(tokens), k_slot, v_slot,
+                jnp.asarray(lp), jnp.asarray(len(rem)), self._next_key(),
+            )
+        else:
+            t_pad = _pad_to_bucket(real)
+            tokens = np.zeros((1, t_pad), np.int32)
+            tokens[0, :real] = prompt
+            k_slot = jax.lax.dynamic_slice_in_dim(self.cache.k, slot, 1,
+                                                  axis=1)
+            v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1,
+                                                  axis=1)
+            next_tok, k_new, v_new = self._prefill_fn(t_pad)(
+                self.variables, jnp.asarray(tokens), k_slot, v_slot,
+                jnp.asarray(real), self._next_key(),
+            )
+
+        if self.prefix_cache is not None:
+            self.prefix_cache.store(prompt, k_new, v_new)
         self.cache = KVCache(
             k=jax.lax.dynamic_update_slice_in_dim(self.cache.k, k_new, slot,
                                                   axis=1),

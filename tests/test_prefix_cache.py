@@ -1,0 +1,120 @@
+"""Prefix caching: KV reuse across requests sharing a prompt prefix."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fp8_quantization_tpu.config import (
+    EstimatorConfig,
+    FP8Config,
+    QMethod,
+    QuantConfig,
+    RangeMethod,
+    RunMethodConfig,
+)
+from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
+from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+from fp8_quantization_tpu.models.serving import ContinuousBatcher
+from fp8_quantization_tpu.quant import ESTIMATE
+
+
+def _qc():
+    return QuantConfig(
+        method=QMethod.fp_quantizer, quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+    )
+
+
+SPEC = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                 num_kv_heads=2, mlp_dim=64, max_seq_len=64)
+
+
+def _calibrated(rng):
+    model = QuantizedLlama(qc=_qc(), spec=SPEC)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 12)), jnp.int32)
+    cache = KVCache.zeros(SPEC, 2, SPEC.max_seq_len)
+    v = model.init(jax.random.key(0), toks, cache, ESTIMATE)
+    _, ups = model.apply(v, toks, cache, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    return model, {**v, **ups}
+
+
+def test_lookup_longest_and_lru():
+    pc = PrefixCache(max_tokens=64, bucket=4)
+    k = jnp.zeros((2, 1, 32, 2, 8), jnp.bfloat16)
+    v = jnp.zeros_like(k)
+    assert pc.store(list(range(8)), k, v) == 8
+    assert pc.store(list(range(16)), k, v) == 16
+    # longest matching prefix wins
+    lp, _, _ = pc.lookup(list(range(16)) + [99])
+    assert lp == 16
+    # a full-prompt match is NOT returned (must leave >=1 token to prefill):
+    # for the 10-token prompt below, the 8-entry serves; for an 8-token
+    # prompt there is no *proper* cached prefix
+    lp, _, _ = pc.lookup(list(range(8)) + [1, 2])
+    assert lp == 8
+    assert pc.lookup(list(range(8))) is None
+    assert pc.lookup([7, 7, 7]) is None
+    # eviction on token budget (64): adding 48 evicts the LRU entry
+    pc.store([5] * 48 + list(range(3)), k[:, :, :48], v[:, :, :48])
+    assert pc.cached_tokens <= 64
+
+
+def test_prefix_cached_admission_matches_cold(rng):
+    model, v = _calibrated(rng)
+    shared = list(rng.integers(0, 64, size=20))
+    p1 = shared + [11, 12, 13]
+    p2 = shared + [31, 32]
+
+    def run(prefix_cache, prompts):
+        b = ContinuousBatcher(model, v, SPEC, slots=2,
+                              max_seq=SPEC.max_seq_len,
+                              prefix_cache=prefix_cache)
+        out = []
+        for p in prompts:
+            s = b.admit(p, max_new_tokens=6)
+            b.run_to_completion()
+            out.append(b.retire(s))
+        return out
+
+    cold = run(None, [p1, p2])
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = run(pc, [p1, p2])
+    assert warm == cold
+    # p1 missed (nothing cached), p2 hit the stored 16-token bucket
+    assert pc.misses == 1 and pc.hits == 1
+
+
+def test_prefix_cache_with_packed_kv(rng):
+    """Prefix reuse stores/copies the uint8 code slabs unchanged."""
+    from fp8_quantization_tpu.quant.sites import QuantPhase
+
+    model = QuantizedLlama(qc=_qc(), spec=SPEC, packed_kv=True)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 12)), jnp.int32)
+    cache = KVCache.zeros(SPEC, 2, SPEC.max_seq_len, dtype=jnp.uint8)
+    v = model.init(jax.random.key(0), toks, cache, ESTIMATE)
+    _, ups = model.apply(v, toks, cache, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+
+    shared = list(rng.integers(0, 64, size=16))
+    p1 = shared + [1, 2]
+    p2 = shared + [3]
+
+    def run(pc):
+        b = ContinuousBatcher(model, v, SPEC, slots=2,
+                              max_seq=SPEC.max_seq_len, prefix_cache=pc)
+        out = []
+        for p in (p1, p2):
+            s = b.admit(p, max_new_tokens=5)
+            b.run_to_completion()
+            out.append(b.retire(s))
+        return out
+
+    pc = PrefixCache(bucket=16)
+    assert run(pc) == run(None)
+    assert pc.hits == 1

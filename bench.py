@@ -97,11 +97,38 @@ def main():
     ours_tflops = flops / t_ours / 1e12
     base_tflops = flops / t_base / 1e12
 
+    # secondary: the native int8 MXU path (uniform quantizers) — the one
+    # path that can beat the bf16 speed-of-light bounding the FP8 simulation
+    # (see scripts/bench_int8.py for the full version)
+    from fp8_quantization_tpu.ops.fastpath import (
+        Int8Weights, quantize_acts_int8, quantized_matmul_int8)
+
+    wi = (w * 4096.0).astype(jnp.int8)
+    iw = Int8Weights(codes=wi, scale=jnp.full((N,), 2.0 ** -12, jnp.float32),
+                     zp=jnp.full((N,), 128.0, jnp.float32),
+                     wsum=jnp.sum(wi.astype(jnp.int32), axis=0))
+    sx, zp = jnp.float32(2.0 ** -5), jnp.float32(0.0)
+    lo, hi = jnp.float32(-128.0), jnp.float32(127.0)
+
+    def int8_chain(n):
+        @jax.jit
+        def f(x, iw):
+            def body(_, acc):
+                codes, cx = quantize_acts_int8(acc, sx, zp, lo, hi)
+                return quantized_matmul_int8(codes, iw, sx, cx)
+            return lax.fori_loop(0, n, body, x).sum()
+        return f
+
+    t_i8 = _slope(int8_chain, x, iw)
+    i8_tops = flops / t_i8 / 1e12
+
     print(json.dumps({
         "metric": "fp8_quant_matmul_tflops",
         "value": round(ours_tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(ours_tflops / base_tflops, 4),
+        "int8_mxu_tops": round(i8_tops, 2),
+        "int8_vs_baseline": round(i8_tops / base_tflops, 4),
     }))
 
 

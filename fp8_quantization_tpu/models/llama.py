@@ -147,6 +147,26 @@ class QuantLlamaBlock(nn.Module):
         hd = s.head_dim
         groups = s.num_heads // s.num_kv_heads
 
+        if self.packed_kv:
+            from ..config import QMethod, RangeMethod
+
+            _acfg = self.qc.act_quantizer()
+            if _acfg.method != QMethod.fp_quantizer:
+                raise ValueError("packed_kv requires the FP quantizer")
+            if (self.qc.act_range.method == RangeMethod.MSE
+                    and _acfg.fp8.mse_include_mantissa_bits):
+                # the MSE estimator could elect different mantissa bits for
+                # the k/v sites; the packed encode/decode uses the static
+                # config format and would silently corrupt the cache
+                raise ValueError(
+                    "packed_kv needs a fixed mantissa format — disable "
+                    "fp8.mse_include_mantissa_bits with the MSE estimator")
+            _m = int(_acfg.fp8.mantissa_bits)
+            _e = _acfg.n_bits - 1 - _m
+            if _e < 1 or 1 + _e + _m > 8:
+                raise ValueError(
+                    f"packed_kv format E{_e}M{_m}+sign must fit one byte")
+
         gamma1 = self.param("attn_norm", nn.initializers.ones_init(),
                             (s.hidden_size,))
         h = _rms_norm(x, gamma1, s.rms_eps)

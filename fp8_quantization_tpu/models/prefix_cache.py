@@ -44,26 +44,34 @@ class PrefixCache:
 
     def lookup(self, prompt: List[int]) -> Optional[Tuple[int, jnp.ndarray,
                                                           jnp.ndarray]]:
-        """Longest stored prefix of ``prompt``; returns (len, k, v) or None.
+        """Longest usable shared prefix; returns (len, k, v) or None.
 
-        Only proper prefixes are returned (len < len(prompt)) so admission
-        always has at least one token to prefill (it needs the next-token
-        logits at the prompt's last position).
+        An entry serves a prompt that shares ANY bucket-aligned leading run
+        with it — the slab is sliced to the shared length (KV at position i
+        depends only on tokens [0, i]), so entries stored from one request's
+        full prompt (including its unique tail) still serve siblings that
+        share only the system-prompt part. Only proper prefixes are returned
+        (len < len(prompt)): admission needs at least one token to prefill
+        for the next-token logits.
         """
-        best = None
+        best, best_key = 0, None
         for key in self._entries:
-            lp = len(key)
-            if (lp < len(prompt) and (best is None or lp > best)
-                    and tuple(prompt[:lp]) == key):
-                best = lp
-        if best is None:
+            j = 0
+            for a, b in zip(key, prompt):
+                if a != b:
+                    break
+                j += 1
+            j = (j // self.bucket) * self.bucket
+            j = min(j, len(prompt) - 1)
+            if j > best:
+                best, best_key = j, key
+        if best <= 0:
             self.misses += 1
             return None
-        key = tuple(prompt[:best])
-        self._entries.move_to_end(key)
+        self._entries.move_to_end(best_key)
         self.hits += 1
-        k, v = self._entries[key]
-        return best, k, v
+        k, v = self._entries[best_key]
+        return best, k[:, :, :best], v[:, :, :best]
 
     def store(self, prompt: List[int], k_slab, v_slab) -> int:
         """Cache the bucket-truncated prefix of ``prompt``; the slabs are

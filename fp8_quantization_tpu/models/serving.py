@@ -126,22 +126,33 @@ class ContinuousBatcher:
             self._prefill_cache[t_pad] = prefill
         return self._prefill_cache[t_pad]
 
-    def _resume_prefill_fn(self, t_pad: int):
-        """Prefill continuing after a cached prefix (cache-attention path)."""
-        key = ("resume", t_pad)
+    def _resume_admit_fn(self, t_pad: int, lp: int):
+        """Warm admission as ONE jitted call: slot slice + prefix splice +
+        remainder prefill (cache-attention path). Fusing matters on the
+        tunneled device, where each eager dispatch costs ~29 ms — split into
+        separate slice/splice/prefill dispatches the warm path was SLOWER
+        than cold prefill despite doing far less compute."""
+        key = ("resume", t_pad, lp)
         if key not in self._prefill_cache:
             model, qp, sampling = self.model, self.qp, self.sampling
 
             @jax.jit
-            def prefill(variables, tokens, k, v, start_len, real_len, rkey):
-                sub = KVCache(k=k, v=v,
-                              length=start_len[None].astype(jnp.int32))
+            def admit(variables, ck, cv, slot, tokens, k_pref, v_pref,
+                      real_len, rkey):
+                k_slot = jax.lax.dynamic_slice_in_dim(ck, slot, 1, axis=1)
+                v_slot = jax.lax.dynamic_slice_in_dim(cv, slot, 1, axis=1)
+                k_slot = jax.lax.dynamic_update_slice(k_slot, k_pref,
+                                                      (0, 0, 0, 0, 0))
+                v_slot = jax.lax.dynamic_update_slice(v_slot, v_pref,
+                                                      (0, 0, 0, 0, 0))
+                sub = KVCache(k=k_slot, v=v_slot,
+                              length=jnp.full((1,), lp, jnp.int32))
                 logits, sub = model.apply(variables, tokens, sub, qp)
                 next_tok = sample_tokens(logits[:1, real_len - 1, :],
                                          sampling, rkey)[0]
                 return next_tok, sub.k, sub.v
 
-            self._prefill_cache[key] = prefill
+            self._prefill_cache[key] = admit
         return self._prefill_cache[key]
 
     def admit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
@@ -159,24 +170,14 @@ class ContinuousBatcher:
         pref = self.prefix_cache.lookup(prompt) if self.prefix_cache else None
         if pref is not None:
             lp, k_pref, v_pref = pref
-            self.cache = KVCache(
-                k=jax.lax.dynamic_update_slice(
-                    self.cache.k, k_pref, (0, slot, 0, 0, 0)),
-                v=jax.lax.dynamic_update_slice(
-                    self.cache.v, v_pref, (0, slot, 0, 0, 0)),
-                length=self.cache.length,
-            )
             rem = prompt[lp:]
             t_pad = _pad_to_bucket(len(rem))
             tokens = np.zeros((1, t_pad), np.int32)
             tokens[0, : len(rem)] = rem
-            k_slot = jax.lax.dynamic_slice_in_dim(self.cache.k, slot, 1,
-                                                  axis=1)
-            v_slot = jax.lax.dynamic_slice_in_dim(self.cache.v, slot, 1,
-                                                  axis=1)
-            next_tok, k_new, v_new = self._resume_prefill_fn(t_pad)(
-                self.variables, jnp.asarray(tokens), k_slot, v_slot,
-                jnp.asarray(lp), jnp.asarray(len(rem)), self._next_key(),
+            next_tok, k_new, v_new = self._resume_admit_fn(t_pad, lp)(
+                self.variables, self.cache.k, self.cache.v,
+                jnp.asarray(slot), jnp.asarray(tokens), k_pref, v_pref,
+                jnp.asarray(len(rem)), self._next_key(),
             )
         else:
             t_pad = _pad_to_bucket(real)

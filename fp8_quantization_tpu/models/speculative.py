@@ -64,7 +64,13 @@ class SpeculativeDecoder:
 
         @jax.jit
         def draft_propose(dvars, cache, t_cur):
-            """k greedy single-token draft decodes (fixed-k scan)."""
+            """k greedy draft proposals as a fixed-(k+1)-step scan.
+
+            The scan feeds t_cur, d1, ..., dk — one step MORE than needed
+            for the proposals — so that d_k's KV is also written: on a fully
+            accepted round the rollback marks d_k's position valid, and
+            without this feed the draft would attend an all-zero row there
+            on every later proposal (silently degrading acceptance)."""
             def step(carry, _):
                 cache, tok = carry
                 logits, cache = draft_model.apply(dvars, tok[None, None],
@@ -72,9 +78,9 @@ class SpeculativeDecoder:
                 nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
                 return (cache, nxt), nxt
 
-            (cache, _), drafts = lax.scan(step, (cache, t_cur), None,
-                                          length=k_)
-            return drafts, cache
+            (cache, _), outs = lax.scan(step, (cache, t_cur), None,
+                                        length=k_ + 1)
+            return outs[:k_], cache
 
         @jax.jit
         def verify(tvars, cache, t_cur, drafts):
@@ -111,7 +117,10 @@ class SpeculativeDecoder:
                         cache)
 
             self._prefill_jit[key] = prefill
-        cache = KVCache.zeros(spec, 1, self.max_seq)
+        cache = KVCache.zeros(
+            spec, 1, self.max_seq,
+            dtype=jnp.uint8 if getattr(model, "packed_kv", False)
+            else jnp.bfloat16)
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, :real] = prompt
         t_cur, cache = self._prefill_jit[key](

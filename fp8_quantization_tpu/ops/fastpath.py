@@ -209,27 +209,23 @@ def pack_dense_caches(variables, qc: QuantConfig,
     """
     import flax
 
-    from ..quant.quantizers import _sym_int_bounds, _uniform_scale
+    from ..quant.quantizers import _uniform_scale
     from .pallas.dequant_matmul import pack_weights
 
     wq_cfg = qc.weight_quantizer(n_bits_w)
     is_fp = wq_cfg.method == QMethod.fp_quantizer
-    if is_fp:
-        mant = int(wq_cfg.fp8.mantissa_bits)
-        expo = wq_cfg.n_bits - 1 - mant
-        if 1 + expo + mant > 8:
-            raise ValueError(
-                f"format E{expo}M{mant}+sign does not fit in 8 bits")
-    elif wq_cfg.n_bits > 8:
-        raise ValueError("int8 packing needs n_bits <= 8")
+    mant = int(wq_cfg.fp8.mantissa_bits) if is_fp else 0
 
     variables = flax.core.unfreeze(variables)
     report = {}
 
-    def visit_fp(node, state, path):
+    def visit_fp(node, state, path, n_bits):
         w_q, w_bias = node.get("w_q"), node.get("w_bias")
         if w_bias is None or w_bias.size == 0:
             return
+        expo = n_bits - 1 - mant
+        if expo < 1 or 1 + expo + mant > 8:
+            return  # this layer's format doesn't fit a byte; leave unpacked
         mbits = state.get("mantissa_bits")
         sbits = state.get("sign_bits")
         if (mbits is None or int(jnp.round(mbits[0])) != mant
@@ -240,7 +236,9 @@ def pack_dense_caches(variables, qc: QuantConfig,
         node["w_pack_bias"] = pw.bias
         report["/".join(path)] = float(pw.exact_fraction)
 
-    def visit_int8(node, state, path):
+    def visit_int8(node, state, path, n_bits):
+        if n_bits > 8:
+            return
         w_q = jnp.asarray(node["w_q"], jnp.float32)
         delta = state.get("delta")
         if delta is None:
@@ -255,7 +253,7 @@ def pack_dense_caches(variables, qc: QuantConfig,
         else:
             zp_q = jnp.broadcast_to(jnp.round(
                 jnp.asarray(state["zero_float"], jnp.float32)), (n,))
-            zp_q = jnp.clip(zp_q, 0.0, 2.0 ** wq_cfg.n_bits - 1)
+            zp_q = jnp.clip(zp_q, 0.0, 2.0 ** n_bits - 1)
             shift = 128.0
         x_int = jnp.round(w_q / scale[None, :]) + zp_q[None, :]
         codes = (x_int - shift).astype(jnp.int8)
@@ -274,10 +272,14 @@ def pack_dense_caches(variables, qc: QuantConfig,
         if w_q is None or w_q.ndim != 2:
             return
         state = (qnode.get("weight_quantizer", {}) or {}).get("q", {})
+        # per-layer n_bits recorded at cache time (quant_setup variants
+        # override n_bits_w per layer); fall back to the global config
+        fmt = node.get("w_nbits")
+        n_bits = int(fmt[0]) if fmt is not None else wq_cfg.n_bits
         if is_fp:
-            visit_fp(node, state, path)
+            visit_fp(node, state, path, n_bits)
         else:
-            visit_int8(node, state, path)
+            visit_int8(node, state, path, n_bits)
 
     _walk_cache(variables.get("quant_cache", {}), variables.get("quant", {}),
                 (), visit)

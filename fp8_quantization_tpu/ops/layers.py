@@ -172,10 +172,17 @@ class _QuantOpBase(nn.Module):
             if fast_bf16:
                 w = w.astype(jnp.bfloat16)  # grid values: lossless
             wb = w_bias if w_bias is not None else jnp.zeros((0,), jnp.float32)
+            # record this layer's weight n_bits so pack_dense_caches packs
+            # with the LAYER's format — quant_setup variants override
+            # n_bits_w per layer (e.g. fc4), and packing with the global
+            # format would silently decode with the wrong field widths
+            fmt = jnp.asarray(
+                [self.qc.weight_quantizer(self.n_bits_w).n_bits], jnp.int32)
             cw = self.variable("quant_cache", "w_q", lambda: w)
             cb = self.variable("quant_cache", "w_bias", lambda: wb)
+            cf = self.variable("quant_cache", "w_nbits", lambda: fmt)
             if self.is_mutable_collection("quant_cache"):
-                cw.value, cb.value = w, wb
+                cw.value, cb.value, cf.value = w, wb, fmt
             return w, w_bias
         if not qp.estimating and self.has_variable("quant_cache", "w_q"):
             w = self.get_variable("quant_cache", "w_q")
@@ -284,10 +291,11 @@ class QuantDense(_QuantOpBase):
             s, zp, lo, hi = sites.act.uniform_int_params()
             x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
             codes, cx = quantize_acts_int8(x2d, s[0], zp[0], lo[0], hi[0])
-            out2d = quantized_matmul_int8(
-                codes, iw, s[0], cx,
-                w_has_zp=self.qc.method != QMethod.symmetric_uniform,
-            )
+            # w_has_zp=True unconditionally: even symmetric weights can
+            # calibrate UNSIGNED (all-nonnegative kernel -> signed=0), which
+            # stores with an effective -128 zero point; the correction terms
+            # are arithmetically zero for signed-symmetric layers anyway
+            out2d = quantized_matmul_int8(codes, iw, s[0], cx, w_has_zp=True)
             res = out2d.reshape(*x.shape[:-1], self.features)
             if self.use_bias:
                 res = res + self.param(

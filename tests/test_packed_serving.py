@@ -495,3 +495,81 @@ def test_packed_variables_checkpoint_roundtrip(rng, tmp_path):
     out_a = np.asarray(layer.apply(vp, x, PACKED))
     out_b = np.asarray(layer.apply(restored, x, PACKED))
     np.testing.assert_array_equal(out_a, out_b)
+
+
+# --------------------------------------------------------------------------
+# code-review regression tests
+# --------------------------------------------------------------------------
+
+def test_pack_skips_per_layer_nbits_override(rng):
+    """quant_setup-style n_bits_w overrides: a 4-bit FP layer must NOT be
+    packed with the global 8-bit format (its decode would use E=-1); it is
+    skipped and keeps its kernel through strip_packed_params."""
+    layer = QuantDense(qc=_qc(), features=16, n_bits_w=4)
+    x = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    v = layer.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True, fast=True)
+    _, ups = layer.apply(v, x, cache_qp, mutable=["quant_cache"])
+    v = {**v, **ups}
+    assert int(v["quant_cache"]["w_nbits"][0]) == 4
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert report == {}  # E = 4-1-4 < 1: unpackable, skipped
+    vs = strip_packed_params(vp)
+    assert "kernel" in vs["params"]  # not stripped (no codes installed)
+    out_fast = np.asarray(layer.apply(v, x, FAST), np.float32)
+    out_packed_phase = np.asarray(layer.apply(vs, x, PACKED), np.float32)
+    np.testing.assert_array_equal(out_packed_phase, out_fast)
+
+
+def test_int8_unsigned_symmetric_weights(rng):
+    """All-nonnegative kernels calibrate as UNSIGNED symmetric; their codes
+    store with an effective -128 zero point whose correction must apply."""
+    from fp8_quantization_tpu.quant.sites import FIXED
+
+    layer = QuantDense(qc=_qc_uniform(QMethod.symmetric_uniform),
+                       features=24)
+    x = jnp.asarray(rng.normal(size=(6, 16)), jnp.float32)
+    v = layer.init(jax.random.key(0), x, ESTIMATE)
+    # force an all-nonnegative kernel before calibration
+    v = dict(v)
+    v["params"] = dict(v["params"], kernel=jnp.abs(v["params"]["kernel"]))
+    _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    assert int(v["quant"]["weight_quantizer"]["q"]["signed"][0]) == 0
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True)
+    _, ups = layer.apply(v, x, cache_qp, mutable=["quant_cache"])
+    v = {**v, **ups}
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert all(f == 1.0 for f in report.values())
+    out_sim = np.asarray(layer.apply(v, x, FIXED), np.float32)
+    out_i8 = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    np.testing.assert_allclose(out_i8, out_sim, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_kv_guards():
+    from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
+
+    spec = LlamaSpec(vocab_size=16, hidden_size=16, num_layers=1, num_heads=2,
+                     num_kv_heads=1, mlp_dim=16, max_seq_len=8)
+    toks = jnp.zeros((1, 2), jnp.int32)
+    cache = KVCache.zeros(spec, 1, 8, dtype=jnp.uint8)
+
+    # uniform quantizer: clear error, not an obscure crash
+    m = QuantizedLlama(qc=_qc_uniform(QMethod.symmetric_uniform), spec=spec,
+                       packed_kv=True)
+    with pytest.raises(ValueError, match="FP quantizer"):
+        m.init(jax.random.key(0), toks, cache, ESTIMATE)
+
+    # MSE estimator with mantissa-bit election: format not static
+    qc = QuantConfig(
+        method=QMethod.fp_quantizer, quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.MSE),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=True),
+        run_method=RunMethodConfig(),
+    )
+    m = QuantizedLlama(qc=qc, spec=spec, packed_kv=True)
+    with pytest.raises(ValueError, match="fixed mantissa"):
+        m.init(jax.random.key(0), toks, cache, ESTIMATE)

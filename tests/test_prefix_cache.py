@@ -52,12 +52,12 @@ def test_lookup_longest_and_lru():
     # longest matching prefix wins
     lp, _, _ = pc.lookup(list(range(16)) + [99])
     assert lp == 16
-    # a full-prompt match is NOT returned (must leave >=1 token to prefill):
-    # for the 10-token prompt below, the 8-entry serves; for an 8-token
-    # prompt there is no *proper* cached prefix
+    # a full-prompt match is capped at len(prompt)-1 (at least one token
+    # must remain to prefill for the next-token logits)
     lp, _, _ = pc.lookup(list(range(8)) + [1, 2])
     assert lp == 8
-    assert pc.lookup(list(range(8))) is None
+    lp, _, _ = pc.lookup(list(range(8)))
+    assert lp == 7
     assert pc.lookup([7, 7, 7]) is None
     # eviction on token budget (64): adding 48 evicts the LRU entry
     pc.store([5] * 48 + list(range(3)), k[:, :, :48], v[:, :, :48])
@@ -118,3 +118,45 @@ def test_prefix_cache_with_packed_kv(rng):
     pc = PrefixCache(bucket=16)
     assert run(pc) == run(None)
     assert pc.hits == 1
+
+
+def test_shared_prefix_with_unique_tails():
+    """Entries stored from one request's FULL prompt (unique tail included)
+    must serve siblings sharing only the system-prompt part — the lookup
+    slices the slab to the common bucket-aligned prefix."""
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    shared = list(range(100, 132))  # 32 shared tokens
+    k = jnp.arange(2 * 1 * 48 * 2 * 4, dtype=jnp.int32).reshape(
+        2, 1, 48, 2, 4).astype(jnp.bfloat16)
+    v = -k
+    pc.store(shared + [1, 2, 3, 4], k, v)       # 36 tokens, unique tail
+    hit = pc.lookup(shared + [9, 9])            # different tail
+    assert hit is not None
+    lp, kh, vh = hit
+    assert lp == 32
+    np.testing.assert_array_equal(np.asarray(kh),
+                                  np.asarray(k[:, :, :32]))
+    # and the bench scenario: prompt length a bucket multiple
+    pc2 = PrefixCache(max_tokens=2048, bucket=16)
+    shared2 = list(range(64))
+    pc2.store(shared2 + list(range(200, 216)), k, v)  # 80 tokens total
+    hit2 = pc2.lookup(shared2 + list(range(300, 316)))
+    assert hit2 is not None and hit2[0] == 64
+
+
+def test_speculative_draft_cache_has_no_zero_rows(rng):
+    """After a fully-accepted round, every valid draft-cache position must
+    hold real KV (the proposal scan feeds the last draft token too)."""
+    from fp8_quantization_tpu.models.speculative import SpeculativeDecoder
+    from fp8_quantization_tpu.quant import FIXED
+
+    model, v = _calibrated(rng)
+    sd = SpeculativeDecoder(model, v, SPEC, model, v, SPEC, k=4)
+    prompt = [3, 1, 4, 1, 5]
+    t_cur, d_cache = sd._prefill(model, v, SPEC, sd.qp, prompt)
+    drafts, d_cache = sd._propose(v, d_cache, t_cur)
+    # positions len(prompt) .. len(prompt)+k must all be written (nonzero
+    # for a real model's K projections)
+    ks = np.asarray(d_cache.k[:, 0, len(prompt): len(prompt) + 5],
+                    np.float32)
+    assert (np.abs(ks).sum(axis=(0, 2, 3)) > 0).all()

@@ -142,9 +142,37 @@ def quantize_acts_int8(x, scale, zero_point, int_min, int_max):
     return codes, c_x
 
 
+def pack_int4(codes):
+    """Nibble-pack int8 codes in [-8, 7]: 0.5 B/weight.
+
+    Split-K-halves layout: byte row i holds code row i (low nibble) and
+    code row i + ceil(K/2) (high nibble) — the two halves stay contiguous
+    along K, so the fused kernel unpacks a tile with two masked shifts and
+    NO sublane interleave, and the XLA fallback is one concatenate.
+    """
+    kk = codes.shape[0]
+    k2 = -(-kk // 2)
+    codes_p = jnp.pad(codes, ((0, 2 * k2 - kk), (0, 0)))
+    nib = codes_p.astype(jnp.int32) & 0xF
+    return (nib[:k2] | (nib[k2:] << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed, k: int):
+    """Inverse of :func:`pack_int4`: (ceil(K/2), N) uint8 -> (K, N) int8.
+
+    Pure jnp bit-ops — runs under jit/GSPMD and inside Pallas kernels
+    (Mosaic-supported ops only); the same expression is the fused int4
+    kernel's in-VMEM decode.
+    """
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = (((p >> 4) & 0xF) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=0)[:k].astype(jnp.int8)
+
+
 def quantized_matmul_int8(x_codes, w: Int8Weights, sx, cx, *,
                           bias=None, out_dtype=jnp.float32,
-                          w_has_zp: bool = False):
+                          w_has_zp: bool = False, acc=None):
     """``(sx*(x-cx)) @ (sw*(w-cw))`` on the native int8 MXU (2x bf16 on v5e).
 
     The integer dot accumulates exactly in int32 (no float rounding per
@@ -154,9 +182,12 @@ def quantized_matmul_int8(x_codes, w: Int8Weights, sx, cx, *,
       out = sx*sw_n * [ dot_mn - cx*Wsum_n - cw_n*Xsum_m + K*cx*cw_n ]
 
     x_codes: (M, K) int8 from ``quantize_acts_int8``; sx/cx scalars.
+    ``acc``: optional precomputed int32 dot (e.g. the fused int4 Pallas
+    kernel's output) — ``w.codes`` is then unused.
     """
     k = x_codes.shape[-1]
-    acc = jnp.dot(x_codes, w.codes, preferred_element_type=jnp.int32)
+    if acc is None:
+        acc = jnp.dot(x_codes, w.codes, preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) - cx * w.wsum.astype(jnp.float32)[None, :]
     if w_has_zp:  # static: only asymmetric weights need the Xsum correction
         cw = w.zp - 128.0
@@ -249,19 +280,25 @@ def pack_dense_caches(variables, qc: QuantConfig,
         if wq_cfg.method == QMethod.symmetric_uniform:
             signed = bool(int(state["signed"][0]))
             zp_q = jnp.zeros((n,), jnp.float32)
-            shift = 0.0 if signed else 128.0
+            shift = 0.0 if signed else (8.0 if n_bits <= 4 else 128.0)
         else:
             zp_q = jnp.broadcast_to(jnp.round(
                 jnp.asarray(state["zero_float"], jnp.float32)), (n,))
             zp_q = jnp.clip(zp_q, 0.0, 2.0 ** n_bits - 1)
-            shift = 128.0
+            shift = 8.0 if n_bits <= 4 else 128.0
         x_int = jnp.round(w_q / scale[None, :]) + zp_q[None, :]
         codes = (x_int - shift).astype(jnp.int8)
-        node["w_i8"] = codes
-        node["w_i8_scale"] = scale
-        # stored zp in shifted coords: c_w = zp - 128  (0 for signed symm.)
-        node["w_i8_zp"] = zp_q + (128.0 - shift)
-        node["w_i8_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
+        if n_bits <= 4:
+            node["w_i4"] = pack_int4(codes)
+            node["w_i4_scale"] = scale
+            node["w_i4_zp"] = zp_q + (128.0 - shift)
+            node["w_i4_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
+        else:
+            node["w_i8"] = codes
+            node["w_i8_scale"] = scale
+            # stored zp in shifted coords: c_w = zp - 128  (0 signed symm.)
+            node["w_i8_zp"] = zp_q + (128.0 - shift)
+            node["w_i8_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
         # exactness: int codes reproduce the cached fake-quantized weights
         rt = scale[None, :] * (codes.astype(jnp.float32) + shift - zp_q)
         report["/".join(path)] = float(jnp.mean(
@@ -300,7 +337,8 @@ def strip_packed_params(variables):
     variables = flax.core.unfreeze(variables)
 
     def visit(node, _qnode, path):
-        if "w_codes" not in node and "w_i8" not in node:
+        if ("w_codes" not in node and "w_i8" not in node
+                and "w_i4" not in node):
             return
         node.pop("w_q", None)
         node.pop("w_bias", None)

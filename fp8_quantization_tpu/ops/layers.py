@@ -214,24 +214,37 @@ class _QuantOpBase(nn.Module):
             mant_width=mant,
         )
 
-    def _int8_weights(self, qp: QuantPhase):
+    def _int8_weights(self, qp: QuantPhase, k: int):
         """Native-int8 MXU serving path (``qp.packed`` with uniform
         quantizers): frozen int8 weight codes from ``pack_dense_caches``, or
         None (falls through). Requires per-tensor quantized inputs — the
         activation codes feed the same int8 dot."""
         if not (qp.packed and qp.quant_w and qp.quant_a and not qp.estimating
                 and self.qc.quantize_input
-                and not self._special_armed()
-                and self.has_variable("quant_cache", "w_i8")):
-            return None
-        from .fastpath import Int8Weights
+                and not self._special_armed()):
+            return None, None
+        from .fastpath import Int8Weights, unpack_int4
 
+        if self.has_variable("quant_cache", "w_i4"):
+            # nibble-packed 4-bit weights (0.5 B/weight at rest). On TPU the
+            # fused Pallas kernel unpacks tiles in VMEM (the packed bytes
+            # never expand in HBM); elsewhere unpack via jnp bit-ops
+            w4 = self.get_variable("quant_cache", "w_i4")
+            use_kernel = jax.default_backend() in ("tpu", "axon")
+            return Int8Weights(
+                codes=None if use_kernel else unpack_int4(w4, k),
+                scale=self.get_variable("quant_cache", "w_i4_scale"),
+                zp=self.get_variable("quant_cache", "w_i4_zp"),
+                wsum=self.get_variable("quant_cache", "w_i4_sum"),
+            ), (w4 if use_kernel else None)
+        if not self.has_variable("quant_cache", "w_i8"):
+            return None, None
         return Int8Weights(
             codes=self.get_variable("quant_cache", "w_i8"),
             scale=self.get_variable("quant_cache", "w_i8_scale"),
             zp=self.get_variable("quant_cache", "w_i8_zp"),
             wsum=self.get_variable("quant_cache", "w_i8_sum"),
-        )
+        ), None
 
     def _special_armed(self) -> bool:
         rm = self.qc.run_method
@@ -282,7 +295,7 @@ class QuantDense(_QuantOpBase):
         return self._tail(sites, res, qp)
 
     def _dense_body(self, sites: _Sites, x, qp: QuantPhase):
-        iw = self._int8_weights(qp)
+        iw, w4 = self._int8_weights(qp, x.shape[-1])
         if iw is not None:
             # native int8 MXU: activation codes x weight codes accumulate
             # exactly in int32 at 2x the bf16 matmul throughput (v5e)
@@ -291,11 +304,17 @@ class QuantDense(_QuantOpBase):
             s, zp, lo, hi = sites.act.uniform_int_params()
             x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
             codes, cx = quantize_acts_int8(x2d, s[0], zp[0], lo[0], hi[0])
+            acc = None
+            if w4 is not None:
+                from .pallas.dequant_matmul import int4_matmul
+
+                acc = int4_matmul(codes, w4, k=x.shape[-1])
             # w_has_zp=True unconditionally: even symmetric weights can
             # calibrate UNSIGNED (all-nonnegative kernel -> signed=0), which
             # stores with an effective -128 zero point; the correction terms
             # are arithmetically zero for signed-symmetric layers anyway
-            out2d = quantized_matmul_int8(codes, iw, s[0], cx, w_has_zp=True)
+            out2d = quantized_matmul_int8(codes, iw, s[0], cx, w_has_zp=True,
+                                          acc=acc)
             res = out2d.reshape(*x.shape[:-1], self.features)
             if self.use_bias:
                 res = res + self.param(

@@ -45,6 +45,99 @@ from ...numerics.codec import pack_exmy, quantize_exmy, unpack_exmy
 from .fused_matmul import _pad_to, _round_up, quantize_block
 
 
+# --------------------------------------------------------------------------
+# Fused INT4 matmul: nibble-packed weights unpacked in VMEM, int8 MXU dot
+# --------------------------------------------------------------------------
+
+def _int4_kernel(xlo_ref, xhi_ref, w_ref, o_ref, acc_ref, *, n_k: int):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = w_ref[:].astype(jnp.int32)
+    lo = (((p & 0xF) ^ 8) - 8).astype(jnp.int8)
+    hi = ((((p >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
+    acc_ref[:] += jnp.dot(xlo_ref[:], lo, preferred_element_type=jnp.int32)
+    acc_ref[:] += jnp.dot(xhi_ref[:], hi, preferred_element_type=jnp.int32)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bm", "bn", "bk2",
+                                             "vmem_limit_mb"))
+def int4_matmul(
+    x_codes,
+    w4,
+    *,
+    k: int,
+    bm: int = 256,
+    bn: int = 1024,
+    bk2: int = 512,
+    vmem_limit_mb: int = 100,
+):
+    """int8 activation codes x nibble-packed int4 weight codes -> int32.
+
+    The weight tile stays 0.5 B/code in HBM and VMEM and is expanded to two
+    int8 tiles (the split-K halves of ``fastpath.pack_int4``) right before
+    the MXU dots — 4 VPU ops per byte, then the 2x-rate int8 systolic array.
+    ``x_codes``: (M, K) int8 (from ``quantize_acts_int8``); ``w4``:
+    (ceil(K/2), N) uint8. Zero-point/scale corrections happen in the caller
+    (``quantized_matmul_int8`` with ``acc=``). Returns (M, N) int32.
+    """
+    m = x_codes.shape[0]
+    k2, n = w4.shape
+    assert x_codes.shape[1] == k and k2 == -(-k // 2), (x_codes.shape,
+                                                        w4.shape, k)
+
+    bm = min(bm, _round_up(m, 32))          # int8 sublane tile is 32
+    bn = min(bn, _round_up(n, 128))
+    bk2 = min(bk2, _round_up(k2, 256))
+
+    # re-lay x into padded (lo | hi) halves matching the padded packed rows
+    k2p = _round_up(k2, bk2)
+    x_lo = _pad_to(_pad_to(x_codes[:, :k2], bm, 0), k2p, 1)
+    x_hi = _pad_to(_pad_to(x_codes[:, k2:], bm, 0), k2p, 1)
+    xp = jnp.concatenate([x_lo, x_hi], axis=1)          # (mp, 2*k2p)
+    wp = _pad_to(_pad_to(w4, bk2, 0), bn, 1)
+    mp = xp.shape[0]
+    np_ = wp.shape[1]
+    n_k = k2p // bk2
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, n_k=n_k),
+        grid=(mp // bm, np_ // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk2), lambda i, j, kk, n_k=n_k: (i, kk + n_k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * 2 * k2p,
+            bytes_accessed=mp * 2 * k2p + k2p * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, xp, wp)
+    return out[:m, :n]
+
+
 class PackedWeights(NamedTuple):
     codes: jnp.ndarray           # (K, N) uint8 ExMy codes
     bias: jnp.ndarray            # (N,) int32 per-channel packing bias

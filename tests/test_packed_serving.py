@@ -573,3 +573,53 @@ def test_packed_kv_guards():
     m = QuantizedLlama(qc=qc, spec=spec, packed_kv=True)
     with pytest.raises(ValueError, match="fixed mantissa"):
         m.init(jax.random.key(0), toks, cache, ESTIMATE)
+
+
+# --------------------------------------------------------------------------
+# INT4 nibble-packed weights
+# --------------------------------------------------------------------------
+
+def test_pack_int4_roundtrip(rng):
+    from fp8_quantization_tpu.ops.fastpath import pack_int4, unpack_int4
+
+    for kk in (64, 63, 1):
+        codes = rng.integers(-8, 8, size=(kk, 24)).astype(np.int8)
+        packed = pack_int4(jnp.asarray(codes))
+        assert packed.dtype == jnp.uint8
+        assert packed.shape == (-(-kk // 2), 24)
+        back = unpack_int4(packed, kk)
+        np.testing.assert_array_equal(np.asarray(back), codes)
+
+
+def test_int4_matmul_kernel_matches_dot(rng):
+    from fp8_quantization_tpu.ops.fastpath import pack_int4
+    from fp8_quantization_tpu.ops.pallas.dequant_matmul import int4_matmul
+
+    k, n, m = 96, 136, 9
+    w = rng.integers(-8, 8, size=(k, n)).astype(np.int8)
+    x = rng.integers(-128, 128, size=(m, k)).astype(np.int8)
+    w4 = pack_int4(jnp.asarray(w))
+    out = int4_matmul(jnp.asarray(x), w4, k=k)
+    ref = x.astype(np.int64) @ w.astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(out, np.int64), ref)
+
+
+def test_int4_layer_matches_simulation(rng):
+    """4-bit uniform symmetric weights: nibble-packed path == simulation."""
+    from fp8_quantization_tpu.quant.sites import FIXED
+
+    layer, v, x = _calibrated_uniform_dense(rng, QMethod.symmetric_uniform,
+                                            n_bits=4)
+    vp, report = pack_dense_caches(v, layer.qc)
+    assert "w_i4" in vp["quant_cache"] and "w_i8" not in vp["quant_cache"]
+    kk = v["params"]["kernel"].shape[0]
+    assert vp["quant_cache"]["w_i4"].shape[0] == -(-kk // 2)
+    assert all(f == 1.0 for f in report.values()), report
+    out_sim = np.asarray(layer.apply(v, x, FIXED), np.float32)
+    out_i4 = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+    np.testing.assert_allclose(out_i4, out_sim, rtol=2e-5, atol=2e-5)
+    # strip works for the int4 keys too
+    vs = strip_packed_params(vp)
+    assert "kernel" not in vs["params"] and "w_q" not in vs["quant_cache"]
+    out_s = np.asarray(layer.apply(vs, x, PACKED), np.float32)
+    np.testing.assert_array_equal(out_s, out_i4)

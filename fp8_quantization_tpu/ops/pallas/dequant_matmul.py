@@ -75,8 +75,8 @@ def int4_matmul(
     *,
     k: int,
     bm: int = 256,
-    bn: int = 1024,
-    bk2: int = 512,
+    bn: int = 8192,
+    bk2: int = 256,
     vmem_limit_mb: int = 100,
 ):
     """int8 activation codes x nibble-packed int4 weight codes -> int32.
@@ -87,6 +87,11 @@ def int4_matmul(
     ``x_codes``: (M, K) int8 (from ``quantize_acts_int8``); ``w4``:
     (ceil(K/2), N) uint8. Zero-point/scale corrections happen in the caller
     (``quantized_matmul_int8`` with ``acc=``). Returns (M, N) int32.
+
+    Measured at 8192^3 on the v5e (swept tiles; bn=8192/bk2=256 best):
+    prefill shapes (M=512) 268 TOP/s = 1.5x the bf16 chain; decode matvecs
+    (M=8) ~parity with bf16 (the VPU unpack cost offsets the HBM savings,
+    as with the FP8 byte decode) — at 4x less weight memory either way.
     """
     m = x_codes.shape[0]
     k2, n = w4.shape

@@ -70,6 +70,11 @@ def main():
                          "matmul (ops/pallas/dequant_matmul.py)")
     ap.add_argument("--packed-kv", action="store_true",
                     help="uint8 packed-code KV cache (half the footprint)")
+    ap.add_argument("--quant", choices=["fp8", "int8", "int4"],
+                    default="fp8",
+                    help="weight/act quantizer family (int8/int4 use the "
+                         "uniform quantizers; with --packed they run the "
+                         "native int8 MXU / fused int4 kernel)")
     args = ap.parse_args()
 
     spec = LlamaSpec(
@@ -78,16 +83,29 @@ def main():
         num_kv_heads=args.kv_heads, mlp_dim=args.mlp,
         max_seq_len=max(args.prefill_t, args.decode_s) + 64,
     )
-    qc = QuantConfig(
-        method=QMethod.fp_quantizer,
-        per_channel_weights=True,
-        quantize_input=True,
-        weight_range=EstimatorConfig(RangeMethod.current_minmax),
-        act_range=EstimatorConfig(RangeMethod.allminmax),
-        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
-        run_method=RunMethodConfig(res_quantizer_flag=True,
-                                   original_quantize_res=True),
-    )
+    if args.quant == "fp8":
+        qc = QuantConfig(
+            method=QMethod.fp_quantizer,
+            per_channel_weights=True,
+            quantize_input=True,
+            weight_range=EstimatorConfig(RangeMethod.current_minmax),
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+            run_method=RunMethodConfig(res_quantizer_flag=True,
+                                       original_quantize_res=True),
+        )
+    else:
+        if args.packed_kv:
+            raise SystemExit("--packed-kv needs the FP quantizer (--quant fp8)")
+        qc = QuantConfig(
+            method=QMethod.symmetric_uniform,
+            n_bits=8 if args.quant == "int8" else 4,
+            per_channel_weights=True,
+            quantize_input=True,
+            weight_range=EstimatorConfig(RangeMethod.current_minmax),
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            run_method=RunMethodConfig(),
+        )
     model = QuantizedLlama(qc=qc, spec=spec, packed_kv=args.packed_kv)
     kv_dtype = jnp.uint8 if args.packed_kv else jnp.bfloat16
 
@@ -185,6 +203,7 @@ def main():
         "decode_context": s_len,
         "packed_weights": bool(args.packed),
         "packed_kv": bool(args.packed_kv),
+        "quant": args.quant,
     }))
 
 

@@ -161,6 +161,15 @@ class QuantLlamaBlock(nn.Module):
                 raise ValueError(
                     "packed_kv needs a fixed mantissa format — disable "
                     "fp8.mse_include_mantissa_bits with the MSE estimator")
+            if _acfg.fp8.allow_unsigned:
+                # an unsigned-calibrated site has grid E = n_bits - M, but
+                # pack_exmy/unpack_exmy and fp_pack_bias assume the signed
+                # layout E = n_bits - 1 - M: clip_of would silently clamp the
+                # cache to half the intended range
+                raise ValueError(
+                    "packed_kv requires signed KV sites — disable "
+                    "fp8.allow_unsigned (the packed codec assumes the "
+                    "sign+E+M byte layout)")
             _m = int(_acfg.fp8.mantissa_bits)
             _e = _acfg.n_bits - 1 - _m
             if _e < 1 or 1 + _e + _m > 8:

@@ -31,9 +31,17 @@ class PrefixCache:
     packed uint8 codes).
     """
 
-    def __init__(self, max_tokens: int = 4096, bucket: int = 16):
+    def __init__(self, max_tokens: int = 4096, bucket: int = 16,
+                 max_entry_tokens: Optional[int] = None):
+        """``max_entry_tokens`` caps how many leading tokens one entry may
+        hold (default ``max_tokens // 4``): a single long unique prompt then
+        cannot evict every shared system-prompt entry from the LRU budget —
+        only its head (the part plausibly shared) is stored."""
         self.max_tokens = max_tokens
         self.bucket = bucket
+        if max_entry_tokens is None:
+            max_entry_tokens = max(bucket, max_tokens // 4)
+        self.max_entry_tokens = (max_entry_tokens // bucket) * bucket
         self._entries: "OrderedDict[Tuple[int, ...], Tuple]" = OrderedDict()
         self.hits = 0
         self.misses = 0
@@ -52,7 +60,10 @@ class PrefixCache:
         full prompt (including its unique tail) still serve siblings that
         share only the system-prompt part. Only proper prefixes are returned
         (len < len(prompt)): admission needs at least one token to prefill
-        for the next-token logits.
+        for the next-token logits. Results are always bucket multiples — a
+        full-prompt match drops a whole bucket rather than clamping to
+        len(prompt)-1, so the warm-admission jit specializes on few distinct
+        prefix lengths (each remote TPU compile costs 30-300 s).
         """
         best, best_key = 0, None
         for key in self._entries:
@@ -62,7 +73,8 @@ class PrefixCache:
                     break
                 j += 1
             j = (j // self.bucket) * self.bucket
-            j = min(j, len(prompt) - 1)
+            if j >= len(prompt):
+                j = ((len(prompt) - 1) // self.bucket) * self.bucket
             if j > best:
                 best, best_key = j, key
         if best <= 0:
@@ -78,6 +90,7 @@ class PrefixCache:
         (layers, 1, >=L, H_kv, D) slot slices. Returns the stored length
         (0 when the prompt is shorter than one bucket)."""
         lb = (len(prompt) // self.bucket) * self.bucket
+        lb = min(lb, self.max_entry_tokens)
         if lb == 0:
             return 0
         key = tuple(prompt[:lb])

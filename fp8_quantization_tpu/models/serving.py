@@ -126,19 +126,25 @@ class ContinuousBatcher:
             self._prefill_cache[t_pad] = prefill
         return self._prefill_cache[t_pad]
 
-    def _resume_admit_fn(self, t_pad: int, lp: int):
+    def _resume_admit_fn(self, t_pad: int):
         """Warm admission as ONE jitted call: slot slice + prefix splice +
         remainder prefill (cache-attention path). Fusing matters on the
         tunneled device, where each eager dispatch costs ~29 ms — split into
         separate slice/splice/prefill dispatches the warm path was SLOWER
-        than cold prefill despite doing far less compute."""
-        key = ("resume", t_pad, lp)
+        than cold prefill despite doing far less compute.
+
+        The prefix length is read from ``k_pref.shape[2]`` instead of being
+        baked into the closure, so compile-cache growth is bounded by the
+        distinct (t_pad, bucket-aligned prefix length) pairs jit itself
+        specializes on — lookup() only returns bucket multiples."""
+        key = ("resume", t_pad)
         if key not in self._prefill_cache:
             model, qp, sampling = self.model, self.qp, self.sampling
 
             @jax.jit
             def admit(variables, ck, cv, slot, tokens, k_pref, v_pref,
                       real_len, rkey):
+                lp = k_pref.shape[2]
                 k_slot = jax.lax.dynamic_slice_in_dim(ck, slot, 1, axis=1)
                 v_slot = jax.lax.dynamic_slice_in_dim(cv, slot, 1, axis=1)
                 k_slot = jax.lax.dynamic_update_slice(k_slot, k_pref,
@@ -164,17 +170,27 @@ class ContinuousBatcher:
         attention path matches the chunk path bitwise)."""
         if not self.free:
             raise RuntimeError("no free slots")
-        slot = self.free.pop(0)
         real = len(prompt)
+        if _pad_to_bucket(real) > self.max_seq:
+            raise ValueError(
+                f"prompt of {real} tokens pads past max_seq={self.max_seq}")
+        slot = self.free.pop(0)
 
         pref = self.prefix_cache.lookup(prompt) if self.prefix_cache else None
+        if pref is not None and (
+            pref[0] + _pad_to_bucket(real - pref[0]) > self.max_seq
+        ):
+            # the padded remainder chunk would spill past the slab end; the
+            # dynamic_update_slice start clamp would then smear pad garbage
+            # over the tail of the valid prefix KV — take the cold path
+            pref = None
         if pref is not None:
             lp, k_pref, v_pref = pref
             rem = prompt[lp:]
             t_pad = _pad_to_bucket(len(rem))
             tokens = np.zeros((1, t_pad), np.int32)
             tokens[0, : len(rem)] = rem
-            next_tok, k_new, v_new = self._resume_admit_fn(t_pad, lp)(
+            next_tok, k_new, v_new = self._resume_admit_fn(t_pad)(
                 self.variables, self.cache.k, self.cache.v,
                 jnp.asarray(slot), jnp.asarray(tokens), k_pref, v_pref,
                 jnp.asarray(len(rem)), self._next_key(),

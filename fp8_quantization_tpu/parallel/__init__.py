@@ -6,6 +6,7 @@ from .sharding import (
     make_mesh,
     param_spec,
     replicate,
+    reshard,
     shard_batch,
     shard_variables,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "make_mesh",
     "param_spec",
     "replicate",
+    "reshard",
     "shard_batch",
     "shard_variables",
 ]

@@ -68,6 +68,20 @@ def shard_variables(variables: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map_with_path(place, variables)
 
 
+def reshard(variables: dict, mesh: Mesh) -> dict:
+    """Re-place a variables pytree onto a (possibly different) mesh.
+
+    ``jax.device_put`` moves data across meshes, so this is the same
+    placement rule as :func:`shard_variables` — the point is WHEN to call
+    it: any pytree sharded for one mesh that feeds a jit running under
+    another mesh must be resharded first. Fed directly, the SPMD partitioner
+    "involuntarily fully rematerializes" every mismatched tensor *inside*
+    the compiled program (replicate + repartition per op — silent and
+    wildly inefficient; see MULTICHIP dryrun, which asserts none occur).
+    """
+    return shard_variables(variables, mesh)
+
+
 def shard_batch(x, mesh: Mesh):
     """Shard the leading (batch) axis over the ``data`` axis."""
 

@@ -52,12 +52,13 @@ def test_lookup_longest_and_lru():
     # longest matching prefix wins
     lp, _, _ = pc.lookup(list(range(16)) + [99])
     assert lp == 16
-    # a full-prompt match is capped at len(prompt)-1 (at least one token
-    # must remain to prefill for the next-token logits)
+    # a full-prompt match drops a whole bucket (at least one token must
+    # remain to prefill, and results stay bucket-aligned so the warm
+    # admission jit specializes on few distinct prefix lengths)
     lp, _, _ = pc.lookup(list(range(8)) + [1, 2])
     assert lp == 8
     lp, _, _ = pc.lookup(list(range(8)))
-    assert lp == 7
+    assert lp == 4
     assert pc.lookup([7, 7, 7]) is None
     # eviction on token budget (64): adding 48 evicts the LRU entry
     pc.store([5] * 48 + list(range(3)), k[:, :, :48], v[:, :, :48])
@@ -142,6 +143,58 @@ def test_shared_prefix_with_unique_tails():
     pc2.store(shared2 + list(range(200, 216)), k, v)  # 80 tokens total
     hit2 = pc2.lookup(shared2 + list(range(300, 316)))
     assert hit2 is not None and hit2[0] == 64
+
+
+def test_store_cap_protects_shared_entries():
+    """One long unique prompt must not evict every shared system-prompt
+    entry: store() caps each entry at max_entry_tokens."""
+    pc = PrefixCache(max_tokens=64, bucket=4, max_entry_tokens=16)
+    k = jnp.zeros((2, 1, 64, 2, 8), jnp.bfloat16)
+    v = jnp.zeros_like(k)
+    assert pc.store(list(range(8)), k, v) == 8          # the shared entry
+    # a unique prompt >= the whole budget stores only its capped head
+    assert pc.store(list(range(1000, 1064)), k, v) == 16
+    assert pc.lookup(list(range(8)) + [1]) is not None  # survived
+
+
+def test_warm_admission_overflow_falls_back_to_cold(rng):
+    """A prompt whose padded remainder would spill past max_seq must take
+    the cold prefill (the slice-start clamp would otherwise smear pad
+    garbage over the tail of the valid prefix KV)."""
+    model, v = _calibrated(rng)
+    # a prefix-cache bucket (4) finer than the serving pad bucket (16) can
+    # produce lp + pad(rem) > max_seq even when the prompt itself fits
+    shared = list(rng.integers(0, 64, size=52))
+    p1 = shared + [1, 2]                 # stores the 52-token prefix
+    p_over = shared + list(range(11))    # 63 real; lp=52, rem pads 16 -> 68
+    pc = PrefixCache(max_tokens=512, bucket=4, max_entry_tokens=512)
+
+    def run(pc_, prompts):
+        b = ContinuousBatcher(model, v, SPEC, slots=2,
+                              max_seq=SPEC.max_seq_len, prefix_cache=pc_)
+        out = []
+        for p in prompts:
+            s = b.admit(p, max_new_tokens=1)
+            out.append(b.retire(s))
+        return out
+
+    assert run(pc, [p1, p_over]) == run(None, [p1, p_over])
+
+
+def test_packed_kv_rejects_unsigned_sites():
+    """allow_unsigned breaks the packed byte layout (E = n_bits - M vs the
+    signed E = n_bits - 1 - M pack_exmy assumes) — must raise, not corrupt."""
+    from dataclasses import replace as dc_replace
+
+    import pytest
+
+    qc = _qc()
+    qc = dc_replace(qc, fp8=dc_replace(qc.fp8, allow_unsigned=True))
+    model = QuantizedLlama(qc=qc, spec=SPEC, packed_kv=True)
+    toks = jnp.zeros((1, 4), jnp.int32)
+    cache = KVCache.zeros(SPEC, 1, SPEC.max_seq_len, dtype=jnp.uint8)
+    with pytest.raises(ValueError, match="allow_unsigned"):
+        model.init(jax.random.key(0), toks, cache, ESTIMATE)
 
 
 def test_speculative_draft_cache_has_no_zero_rows(rng):

@@ -31,19 +31,16 @@ class SamplingParams(NamedTuple):
 GREEDY = SamplingParams()
 
 
-def sample_tokens(logits, params: SamplingParams, key=None):
-    """Sample one token per row. logits: (B, V) -> (B,) int32.
+def filtered_logits(logits, params: SamplingParams):
+    """Temperature-scaled logits with the top-k / top-p mask applied
+    (``-inf`` outside the support). The shared mask builder for sampling and
+    for speculative accept/reject (which needs the *distribution*, not just
+    a sample). Requires ``temperature > 0``.
 
     Filtering order (the standard one): top-k first, then top-p on the
-    renormalized survivors, then categorical sampling at ``temperature``.
+    renormalized survivors.
     """
-    logits = jnp.asarray(logits, jnp.float32)
-    if params.greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if key is None:
-        raise ValueError("sampling with temperature > 0 needs a PRNG key")
-
-    scaled = logits / params.temperature
+    scaled = jnp.asarray(logits, jnp.float32) / params.temperature
 
     if params.top_k and params.top_k > 0:
         kth = jax.lax.top_k(scaled, params.top_k)[0][..., -1:]
@@ -61,4 +58,22 @@ def sample_tokens(logits, params: SamplingParams, key=None):
                       axis=-1, keepdims=True)
         scaled = jnp.where(scaled < thr, -jnp.inf, scaled)
 
-    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return scaled
+
+
+def filtered_probs(logits, params: SamplingParams):
+    """The normalized distribution sampling actually draws from — softmax of
+    :func:`filtered_logits`."""
+    return jax.nn.softmax(filtered_logits(logits, params), axis=-1)
+
+
+def sample_tokens(logits, params: SamplingParams, key=None):
+    """Sample one token per row. logits: (B, V) -> (B,) int32."""
+    logits = jnp.asarray(logits, jnp.float32)
+    if params.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("sampling with temperature > 0 needs a PRNG key")
+    return jax.random.categorical(
+        key, filtered_logits(logits, params), axis=-1
+    ).astype(jnp.int32)

@@ -28,6 +28,49 @@ from jax import lax
 
 from ..quant.sites import FIXED, QuantPhase
 from .llama import KVCache, LlamaSpec
+from .sampling import GREEDY, SamplingParams, filtered_probs
+
+
+def spec_accept(drafts, q_rows, p_rows, u, key):
+    """Stochastic speculative accept/reject (Leviathan et al. 2023 /
+    Chen et al. 2023) as a pure, fixed-shape function.
+
+    drafts: (k,) int32 tokens sampled from the draft distributions q_rows
+    ((k, V) rows, already filtered+normalized); p_rows: (k+1, V) target
+    distributions at the same positions (row k is the bonus position after
+    all drafts); u: (k,) uniforms; key: PRNG for the residual draw.
+
+    Draft i is accepted with probability min(1, p_i(x_i)/q_i(x_i)) given all
+    earlier drafts accepted. On the first rejection at m the replacement is
+    drawn from the residual norm(max(p_m - q_m, 0)); with all k accepted the
+    bonus token is drawn from p_k. The emitted prefix is then an EXACT sample
+    from ancestral target sampling (proof: per-token output law =
+    q·min(1,p/q) + (1-alpha)·norm((p-q)+) = p, tested by Monte Carlo).
+
+    Returns (out (k+1,), m) where out[:m] = accepted drafts, out[m] = the
+    resampled/bonus token, and out[m+1:] is broadcast filler.
+    """
+    k = drafts.shape[0]
+    idx = jnp.arange(k)
+    q_x = q_rows[idx, drafts]
+    p_x = p_rows[idx, drafts]
+    acc = u < jnp.minimum(p_x / jnp.maximum(q_x, 1e-30), 1.0)
+    m = jnp.argmin(jnp.concatenate(
+        [acc, jnp.zeros((1,), bool)]).astype(jnp.int32))
+    # residual at the rejection point; bonus distribution when m == k
+    p_m = p_rows[m]
+    q_m = q_rows[jnp.minimum(m, k - 1)]
+    resid = jnp.where(m < k, jnp.maximum(p_m - q_m, 0.0), p_m)
+    norm = jnp.sum(resid)
+    # a zero residual after a rejection has probability 0 (it requires
+    # p <= q pointwise, which makes the acceptance ratio 1); guard the
+    # numerics by falling back to p_m
+    resid = jnp.where(norm > 1e-30, resid / jnp.maximum(norm, 1e-30), p_m)
+    y = jax.random.categorical(key, jnp.log(jnp.maximum(resid, 1e-30)))
+    out = jnp.where(jnp.arange(k + 1) < m,
+                    jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)]),
+                    jnp.broadcast_to(y.astype(jnp.int32), (k + 1,)))
+    return out, m
 
 
 class SpecStats(NamedTuple):
@@ -41,13 +84,23 @@ class SpecStats(NamedTuple):
 
 
 class SpeculativeDecoder:
-    """Greedy speculative decoding over (target, draft) quantized models."""
+    """Speculative decoding over (target, draft) quantized models.
+
+    ``sampling=GREEDY`` (default): greedy draft + longest-matching-prefix
+    verification — output token-identical to the target's greedy decode.
+    With ``temperature > 0``: stochastic draft proposals + accept/reject
+    verification (:func:`spec_accept`) whose output is distributed EXACTLY
+    as ancestral sampling from the target's filtered distribution — the mode
+    serving actually uses with temperature/top-k/top-p. Both compose with
+    packed (uint8) KV caches.
+    """
 
     def __init__(self, model, variables, spec: LlamaSpec,
                  draft_model, draft_variables, draft_spec: LlamaSpec, *,
                  k: int = 4, max_seq: Optional[int] = None,
                  qp: QuantPhase = FIXED, draft_qp: Optional[QuantPhase] = None,
-                 eos_token: int = -1):
+                 eos_token: int = -1, sampling: SamplingParams = GREEDY,
+                 seed: int = 0):
         self.model, self.variables, self.spec = model, variables, spec
         self.draft = draft_model
         self.draft_variables = draft_variables
@@ -58,6 +111,9 @@ class SpeculativeDecoder:
         self.qp = qp
         self.draft_qp = draft_qp or qp
         self.eos_token = eos_token
+        self.sampling = sampling
+        self._key = jax.random.key(seed)
+        self._nkeys = 0
 
         k_ = k
         draft_qp_ = self.draft_qp
@@ -99,22 +155,74 @@ class SpeculativeDecoder:
                             jnp.broadcast_to(greedy[m], (k_ + 1,)))
             return out, m, cache
 
+        sampling_ = sampling
+
+        @jax.jit
+        def draft_propose_stochastic(dvars, cache, t_cur, key):
+            """k stochastic proposals: step i samples x_i from the draft's
+            filtered distribution q_i and records the full q_i row (the
+            verifier's accept ratios and residuals need the distribution,
+            not just the sample). Same k+1-step KV discipline as greedy."""
+            keys = jax.random.split(key, k_ + 1)
+
+            def step(carry, skey):
+                cache, tok = carry
+                logits, cache = draft_model.apply(dvars, tok[None, None],
+                                                  cache, draft_qp_)
+                q_row = filtered_probs(logits[0, -1], sampling_)
+                nxt = jax.random.categorical(
+                    skey, jnp.log(jnp.maximum(q_row, 1e-30))).astype(jnp.int32)
+                return (cache, nxt), (nxt, q_row)
+
+            (cache, _), (toks, q_rows) = lax.scan(step, (cache, t_cur), keys)
+            return toks[:k_], q_rows[:k_], cache
+
+        @jax.jit
+        def verify_stochastic(tvars, cache, t_cur, drafts, q_rows, key):
+            """One (k+1)-token target forward + spec_accept."""
+            tokens = jnp.concatenate([t_cur[None], drafts])[None, :]
+            logits, cache = model.apply(tvars, tokens, cache, qp)
+            p_rows = filtered_probs(logits[0], sampling_)  # (k+1, V)
+            ku, kr = jax.random.split(key)
+            u = jax.random.uniform(ku, (k_,))
+            out, m = spec_accept(drafts, q_rows, p_rows, u, kr)
+            return out, m, cache
+
         self._propose = draft_propose
         self._verify = verify
+        self._propose_stochastic = draft_propose_stochastic
+        self._verify_stochastic = verify_stochastic
         self._prefill_jit = {}
 
-    def _prefill(self, model, variables, spec, qp, prompt):
-        """Jitted bucket-padded prefill (right padding is causally inert)."""
+    def _next_key(self):
+        self._nkeys += 1
+        return jax.random.fold_in(self._key, self._nkeys)
+
+    def _prefill(self, model, variables, spec, qp, prompt, sample_key=None):
+        """Jitted bucket-padded prefill (right padding is causally inert).
+
+        ``sample_key``: sample the first new token from the target's filtered
+        distribution instead of argmax (stochastic mode; the draft prefill's
+        token is discarded, so only the target passes a key)."""
+        from .sampling import sample_tokens
+
         real = len(prompt)
         t_pad = max(8, -(-real // 8) * 8)
-        key = (id(model), t_pad)
+        stochastic = sample_key is not None
+        key = (id(model), t_pad, stochastic)
         if key not in self._prefill_jit:
+            sampling = self.sampling
+
             @jax.jit
-            def prefill(variables, tokens, cache, real_len):
+            def prefill(variables, tokens, cache, real_len, skey):
                 logits, cache = model.apply(variables, tokens, cache, qp,
                                             chunk_attention=True)
-                return (jnp.argmax(logits[0, real_len - 1]).astype(jnp.int32),
-                        cache)
+                row = logits[0, real_len - 1]
+                if stochastic:
+                    tok = sample_tokens(row[None], sampling, skey)[0]
+                else:
+                    tok = jnp.argmax(row).astype(jnp.int32)
+                return tok, cache
 
             self._prefill_jit[key] = prefill
         cache = KVCache.zeros(
@@ -124,20 +232,25 @@ class SpeculativeDecoder:
         toks = np.zeros((1, t_pad), np.int32)
         toks[0, :real] = prompt
         t_cur, cache = self._prefill_jit[key](
-            variables, jnp.asarray(toks), cache, jnp.asarray(real))
+            variables, jnp.asarray(toks), cache, jnp.asarray(real),
+            sample_key if stochastic else self._key)
         # padded positions wrote dead data past ``real``; mask via length
         return t_cur, cache._replace(
             length=jnp.full_like(cache.length, real))
 
     def generate(self, prompt: List[int], max_new_tokens: int = 32
                  ) -> Tuple[List[int], SpecStats]:
-        """Greedy-decode ``max_new_tokens`` tokens after ``prompt``.
+        """Decode ``max_new_tokens`` tokens after ``prompt``.
 
-        Returns (tokens, stats); tokens are exactly the target model's own
-        greedy continuation.
+        Returns (tokens, stats). Greedy sampling params: tokens are exactly
+        the target model's own greedy continuation. Stochastic params:
+        tokens are an exact sample from the target's ancestral sampling
+        distribution (regardless of the draft).
         """
-        t_cur, t_cache = self._prefill(self.model, self.variables, self.spec,
-                                       self.qp, prompt)
+        stochastic = not self.sampling.greedy
+        t_cur, t_cache = self._prefill(
+            self.model, self.variables, self.spec, self.qp, prompt,
+            sample_key=self._next_key() if stochastic else None)
         _, d_cache = self._prefill(self.draft, self.draft_variables,
                                    self.draft_spec, self.draft_qp, prompt)
         p = len(prompt)
@@ -146,10 +259,17 @@ class SpeculativeDecoder:
 
         while (len(out) < max_new_tokens and out[-1] != self.eos_token
                and p + len(out) + self.k + 1 < self.max_seq):
-            drafts, d_cache = self._propose(self.draft_variables, d_cache,
-                                            t_cur)
-            emitted, m, t_cache = self._verify(self.variables, t_cache, t_cur,
-                                               drafts)
+            if stochastic:
+                drafts, q_rows, d_cache = self._propose_stochastic(
+                    self.draft_variables, d_cache, t_cur, self._next_key())
+                emitted, m, t_cache = self._verify_stochastic(
+                    self.variables, t_cache, t_cur, drafts, q_rows,
+                    self._next_key())
+            else:
+                drafts, d_cache = self._propose(self.draft_variables, d_cache,
+                                                t_cur)
+                emitted, m, t_cache = self._verify(self.variables, t_cache,
+                                                   t_cur, drafts)
             m = int(m)
             steps += 1
             proposed += self.k

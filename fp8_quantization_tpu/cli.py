@@ -150,6 +150,31 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--approx-output-dir", type=str,
                        default="approx_output")
 
+        # oscillations_dampen_options (click_options.py:216-256) — the
+        # reference parses these and never implements them; here they drive
+        # quant/oscillations.py via osc_configs_from_args
+        p.add_argument("--oscillations-dampen-weight", type=float,
+                       default=None)
+        p.add_argument("--oscillations-dampen-aggregation", type=str,
+                       default="kernel_mean",
+                       choices=["sum", "mean", "kernel_mean"])
+        p.add_argument("--oscillations-dampen-weight-final", type=float,
+                       default=None)
+        p.add_argument("--oscillations-dampen-anneal-start", type=float,
+                       default=0.25)
+
+        # oscillations_freeze_options (click_options.py:259-317)
+        p.add_argument("--oscillations-freeze-threshold", type=float,
+                       default=0.0)
+        p.add_argument("--oscillations-freeze-ema-momentum", type=float,
+                       default=0.001)
+        _add_bool_flag(p, "oscillations-freeze-use-ema", True)
+        p.add_argument("--oscillations-freeze-max-bits", type=int, default=4)
+        p.add_argument("--oscillations-freeze-threshold-final", type=float,
+                       default=None)
+        p.add_argument("--oscillations-freeze-anneal-start", type=float,
+                       default=0.25)
+
         # eval control (image_net.py mini-test path, :171-179)
         _add_bool_flag(p, "mini-test", False)
         p.add_argument("--mini-test-batches", type=int, default=10)
@@ -169,6 +194,33 @@ def build_parser() -> argparse.ArgumentParser:
     vd = sub.add_parser("validate-quantized-demo", help="image_net.py:205-224")
     common(vd)
     return parser
+
+
+def osc_configs_from_args(args):
+    """args -> (OscDampConfig | None, OscFreezeConfig | None) — the
+    reference's ``osc_damp``/``osc_freeze`` config namespaces
+    (click_options.py:216-317), consumed by ``quant.qat.make_qat_step``."""
+    from .config import OscDampConfig, OscFreezeConfig
+
+    damp = None
+    if args.oscillations_dampen_weight is not None:
+        damp = OscDampConfig(
+            weight=args.oscillations_dampen_weight,
+            aggregation=args.oscillations_dampen_aggregation,
+            weight_final=args.oscillations_dampen_weight_final,
+            anneal_start=args.oscillations_dampen_anneal_start,
+        )
+    freeze = None
+    if args.oscillations_freeze_threshold > 0.0:
+        freeze = OscFreezeConfig(
+            threshold=args.oscillations_freeze_threshold,
+            ema_momentum=args.oscillations_freeze_ema_momentum,
+            use_ema=args.oscillations_freeze_use_ema,
+            max_bits=args.oscillations_freeze_max_bits,
+            threshold_final=args.oscillations_freeze_threshold_final,
+            anneal_start=args.oscillations_freeze_anneal_start,
+        )
+    return damp, freeze
 
 
 def config_from_args(args) -> QuantConfig:

@@ -120,6 +120,40 @@ class ApproxConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class OscDampConfig:
+    """Oscillation-dampening regularizer (click_options.py:216-256 — the
+    reference parses these flags but never implements the algorithm; see
+    ``quant/oscillations.py`` for the working one). Knob names match the
+    reference's ``osc_damp`` namespace 1:1."""
+
+    weight: float = 0.0                     # oscillations_dampen_weight
+    aggregation: str = "kernel_mean"        # sum | mean | kernel_mean
+    weight_final: Optional[float] = None    # cosine-anneal target
+    anneal_start: float = 0.25              # relative to total iterations
+
+    @property
+    def enabled(self) -> bool:
+        return self.weight > 0.0 or (self.weight_final or 0.0) > 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class OscFreezeConfig:
+    """Oscillation freezing (click_options.py:259-317 — flags-only in the
+    reference). Knob names match the ``osc_freeze`` namespace 1:1."""
+
+    threshold: float = 0.0                  # freeze when EMA freq exceeds
+    ema_momentum: float = 0.001
+    use_ema: bool = True                    # pin round(EMA of x_int)
+    max_bits: int = 4                       # only track layers this low-bit
+    threshold_final: Optional[float] = None
+    anneal_start: float = 0.25
+
+    @property
+    def enabled(self) -> bool:
+        return self.threshold > 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class QuantConfig:
     """Model-wide quantization setup (the reference's ``qparams`` dict,
     click_options.py:544-577, threaded into every QuantizedModule ctor)."""

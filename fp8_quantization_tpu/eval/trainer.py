@@ -75,6 +75,8 @@ def train_qat(
     tb_logging_dir: Optional[str] = None,
     steps_per_epoch: Optional[int] = None,
     model_kwargs: Optional[dict] = None,
+    osc_damp=None,
+    osc_freeze=None,
 ):
     """Run QAT; returns (variables, history of per-epoch metrics)."""
     spe = steps_per_epoch or 1000
@@ -91,6 +93,7 @@ def train_qat(
     step, init_state = make_qat_step(
         model, model_opt, quant_opt, grad_scaling=grad_scaling,
         trainable=trainable, model_kwargs=model_kwargs,
+        osc_damp=osc_damp, osc_freeze=osc_freeze, total_steps=total,
     )
     state = init_state(variables)
     tb = TensorBoardLogger(tb_logging_dir)
@@ -112,10 +115,9 @@ def train_qat(
             variables = reestimate_bn(model, variables, train_batches(),
                                       model_kwargs=model_kwargs)
             # keep optimizer state; refresh the rest snapshot
-            state = (state[0], state[1],
-                     {**state[2], "batch_stats": variables.get("batch_stats")}
-                     if "batch_stats" in variables else state[2],
-                     state[3], state[4])
+            if "batch_stats" in variables:
+                state = state._replace(rest={
+                    **state.rest, "batch_stats": variables["batch_stats"]})
 
         metrics = {}
         if eval_batches is not None:

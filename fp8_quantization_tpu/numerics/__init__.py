@@ -4,13 +4,15 @@ Pure-jnp, CPU-testable layer. The fused TPU fast paths live in
 ``fp8_quantization_tpu.ops.pallas`` and are tested against this oracle.
 """
 
-from .approx_matmul import ApproxStats, approx_matmul_golden
+from .approx_matmul import (ApproxStats, approx_matmul_golden,
+                            approx_matmul_golden_v6)
 from .codec import (
     code_of,
     compose,
     decompose,
     fields_of,
     quantize_exmy,
+    quantize_exmy_allnorm,
     value_space,
 )
 from .formats import E2M5, E3M4, E4M3, E5M2, ExMy, default_bias
@@ -33,11 +35,13 @@ from .rounding import (
 __all__ = [
     "ApproxStats",
     "approx_matmul_golden",
+    "approx_matmul_golden_v6",
     "code_of",
     "compose",
     "decompose",
     "fields_of",
     "quantize_exmy",
+    "quantize_exmy_allnorm",
     "value_space",
     "ExMy",
     "E2M5",

@@ -32,7 +32,14 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .codec import compose, decompose, quantize_exmy
+from .codec import (
+    compose,
+    compose_allnorm,
+    decompose,
+    decompose_allnorm,
+    quantize_exmy,
+    quantize_exmy_allnorm,
+)
 
 
 class ApproxStats(NamedTuple):
@@ -185,6 +192,101 @@ def approx_matmul_golden(
             norm_frac_b=jnp.mean((~b_subnorm).astype(jnp.float32)),
             norm_frac_r=(norm_frac_r if norm_frac_r is not None
                          else jnp.asarray(1.0, jnp.float32)),
+            max_err=jnp.max(err),
+            mean_err=jnp.mean(err),
+            rmse=jnp.sqrt(jnp.mean(err**2)),
+        )
+        return result, stats
+    return result
+
+
+def approx_matmul_golden_v6(
+    A,
+    B,
+    expo_width: int,
+    mant_width: int,
+    bias_a,
+    bias_b,
+    bias_r,
+    error_table,
+    *,
+    self_check: bool = False,
+    golden_clip_of: bool = False,
+):
+    """The v6 lineage's integer-domain approx matmul
+    (`/root/reference/approx/approx_matmul_whole_v6.py:10-173`) — kept as a
+    selectable oracle so the historical kernel semantics are pinned, not just
+    "unified away" (VERDICT r1 #10).
+
+    v6 differs from the active v9 pipeline in three ways:
+
+    * it uses the **all-normal** codec (fp_any_int_v5 lineage, ``clip_OF=True``
+      extraction): no subnormals, zero iff the code is exactly 0 — which also
+      means a zero operand whose partner code is large can decode to a
+      *nonzero* product (code_A=0 still enters the adder); that reference
+      behavior is reproduced bit-for-bit;
+    * the product is a pure **integer add of flat codes** with per-operand
+      biases folded into ``B_neg = -((ba + bb - br) << M)``; a negative raw
+      sum clamps to 0, otherwise the LUT compensation is added (v6.py:136-148)
+      — there is no float-domain recombination and no golden fallback mask;
+    * the K-sum is **unconditionally requantized** onto the all-normal result
+      grid with ``clip_OF=False`` (v6.py:104-105).
+
+    ``bias_b`` / ``bias_r`` may be (N,) per-output-channel vectors, as in
+    :func:`approx_matmul_golden`.
+    """
+    A = jnp.asarray(A, dtype=jnp.float32)
+    B = jnp.asarray(B, dtype=jnp.float32)
+    assert A.shape[1] == B.shape[0]
+    n = B.shape[1]
+
+    bias_a = jnp.asarray(bias_a, jnp.int32)
+    bias_b2 = jnp.asarray(_bcast_cols(bias_b, n), jnp.int32)   # () or (1, N)
+    bias_r2 = jnp.asarray(_bcast_cols(bias_r, n), jnp.int32)
+    error_table = jnp.asarray(error_table, dtype=jnp.int32)
+    mant_scale = 1 << mant_width
+
+    # all-normal extraction with overflow clipping (v6.py:26-31)
+    a_expo, a_mant = decompose_allnorm(A, mant_width, bias_a,
+                                       expo_width=expo_width, clip_of=True)
+    b_expo, b_mant = decompose_allnorm(B, mant_width, bias_b2,
+                                       expo_width=expo_width, clip_of=True)
+
+    # flat codes + combined bias (v6.py:33-40)
+    x_int = a_expo * mant_scale + a_mant                        # (M, K)
+    y_int = b_expo * mant_scale + b_mant                        # (K, N)
+    b_neg = -((bias_a + bias_b2 - bias_r2) * mant_scale)        # () or (1, N)
+
+    raw = x_int[:, :, None] + y_int[None, :, :] + (
+        b_neg[None, :, :] if b_neg.ndim else b_neg)
+    comp = error_table[a_mant[:, :, None], b_mant[None, :, :]]
+    # negative sum -> 0, else add LUT compensation (v6.py:136-148)
+    result_int = jnp.where(raw < 0, 0, raw + comp)
+
+    # sign from the operands' signs (v6.py:79-82; sign(0) = +1)
+    sign_3d = jnp.where(A < 0, -1.0, 1.0)[:, :, None] * \
+        jnp.where(B < 0, -1.0, 1.0)[None, :, :]
+
+    approx_3d = compose_allnorm(result_int // mant_scale,
+                                result_int % mant_scale,
+                                mant_width, bias_r2, sign=sign_3d)
+    result = approx_3d.sum(axis=1)
+    # unconditional final requant, clip_OF=False (v6.py:104-105)
+    result = quantize_exmy_allnorm(result, expo_width, mant_width, bias_r2,
+                                   clip_of=False)
+
+    if self_check:
+        golden_3d = A[:, :, None] * B[None, :, :]
+        golden_3d = quantize_exmy_allnorm(golden_3d, expo_width, mant_width,
+                                          bias_r2, clip_of=golden_clip_of)
+        golden_2d = quantize_exmy_allnorm(golden_3d.sum(axis=1), expo_width,
+                                          mant_width, bias_r2,
+                                          clip_of=golden_clip_of)
+        err = jnp.abs(golden_2d - result)
+        stats = ApproxStats(
+            norm_frac_a=jnp.asarray(1.0, jnp.float32),
+            norm_frac_b=jnp.asarray(1.0, jnp.float32),
+            norm_frac_r=jnp.asarray(1.0, jnp.float32),
             max_err=jnp.max(err),
             mean_err=jnp.mean(err),
             rmse=jnp.sqrt(jnp.mean(err**2)),

@@ -187,6 +187,20 @@ def compose_allnorm(expo, mant, mant_width: int, bias, sign=None):
     return values
 
 
+def quantize_exmy_allnorm(arr, expo_width: int, mant_width: int, bias, *,
+                          clip_of: bool = True):
+    """All-normal round-trip quantize — the v6 lineage's in-file
+    ``quant_to_fp_any_vectorize_torch``
+    (`/root/reference/approx/approx_matmul_whole_v6.py:353-383`), which uses
+    the no-subnormal codec: magnitudes below ``2^-bias (1 + 2^-M)`` collapse
+    to zero instead of denormalizing."""
+    arr = jnp.asarray(arr, dtype=jnp.float32)
+    expo, mant = decompose_allnorm(arr, mant_width, bias,
+                                   expo_width=expo_width, clip_of=clip_of)
+    sign = jnp.where(arr < 0, -1.0, 1.0).astype(jnp.float32)
+    return compose_allnorm(expo, mant, mant_width, bias, sign=sign)
+
+
 def pack_exmy(values, expo_width: int, mant_width: int, bias, *,
               signed: bool = True, clip_of: bool = False):
     """Pack grid values into flat byte codes ``s:1 | e:expo_width | m:mant_width``.

@@ -21,14 +21,28 @@ mirror.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
+from ..config import OscDampConfig, OscFreezeConfig, QuantConfig
 from .sites import QuantPhase
 
 RANGE_PARAM_NAMES = ("maxval", "mantissa_bits", "delta", "zero_float")
+
+
+class QATState(NamedTuple):
+    """Train-step carry. Indexes [0..4] match the historical plain tuple."""
+
+    model_params: dict
+    quant_train: dict
+    rest: dict
+    m_opt_state: object
+    q_opt_state: object
+    # oscillation tracking: {"freeze": FreezeState, "step": int32 scalar}
+    osc: dict
 
 
 def _split_quant(tree, trainable: Tuple[str, ...] = RANGE_PARAM_NAMES):
@@ -144,6 +158,11 @@ def make_optimizer(
     return opt
 
 
+def _merge_quant_tree(quant_train: dict, rest: dict) -> dict:
+    """Full ``quant`` collection from its partitioned halves."""
+    return merge_variables({}, quant_train, rest)["quant"]
+
+
 def make_qat_step(
     model,
     model_opt: optax.GradientTransformation,
@@ -153,6 +172,10 @@ def make_qat_step(
     estimate_ranges_train: bool = False,
     trainable: Tuple[str, ...] = RANGE_PARAM_NAMES,
     model_kwargs: Optional[dict] = None,
+    qc: Optional[QuantConfig] = None,
+    osc_damp: Optional[OscDampConfig] = None,
+    osc_freeze: Optional[OscFreezeConfig] = None,
+    total_steps: int = 10_000,
 ):
     """Build a jitted QAT train step over (model_params, quant_params).
 
@@ -162,15 +185,31 @@ def make_qat_step(
     Qstate applies instead (quantization_manager.py:105-107,134-139): range
     estimators keep updating from every training batch and override the
     gradient updates on range params.
+
+    ``osc_damp`` / ``osc_freeze`` enable the oscillation dampening loss and
+    the EMA-frequency freezer (``quant/oscillations.py`` — the working
+    implementation behind the reference's flags-only ``osc_damp``/
+    ``osc_freeze`` namespaces, click_options.py:216-317). Both need ``qc``
+    (the model's QuantConfig) to interpret the weight-quantizer states;
+    ``total_steps`` drives their cosine annealing schedules.
     """
+    from . import oscillations as osc
+
     quant_opt = quant_opt or model_opt
     qp = QuantPhase(
         phase="estimate" if estimate_ranges_train else "fixed",
         grad_scaling=grad_scaling,
     )
     model_kwargs = model_kwargs or {}
+    damp_on = osc_damp is not None and osc_damp.enabled
+    freeze_on = osc_freeze is not None and osc_freeze.enabled
+    if (damp_on or freeze_on) and qc is None:
+        qc = getattr(model, "qc", None)
+        if qc is None:
+            raise ValueError("oscillation dampening/freezing needs qc")
+    wq_cfg = qc.weight_quantizer() if qc is not None else None
 
-    def loss_fn(model_params, quant_train, rest, x, y):
+    def loss_fn(model_params, quant_train, rest, x, y, osc_step):
         variables = merge_variables(model_params, quant_train, rest)
         if estimate_ranges_train:
             logits, ups = model.apply(
@@ -183,17 +222,26 @@ def make_qat_step(
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, y
         ).mean()
+        if damp_on:
+            w = osc.dampening_weight(osc_damp, osc_step, total_steps)
+            loss = loss + w * osc.dampening_loss(
+                model_params, variables["quant"], wq_cfg,
+                osc_damp.aggregation)
         return loss, ups
 
     @jax.jit
     def step(state, x, y):
-        (model_params, quant_train, rest, m_opt_state, q_opt_state) = state
+        (model_params, quant_train, rest, m_opt_state, q_opt_state,
+         osc_state) = state
+        osc_step = osc_state.get("step", jnp.int32(0))
         (loss, ups), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                                 has_aux=True)(
-            model_params, quant_train, rest, x, y
+            model_params, quant_train, rest, x, y, osc_step
         )
         g_model, g_quant = grads
         upd_m, m_opt_state = model_opt.update(g_model, m_opt_state, model_params)
+        if freeze_on:
+            upd_m = osc.mask_frozen_updates(osc_state["freeze"], upd_m)
         model_params = optax.apply_updates(model_params, upd_m)
         upd_q, q_opt_state = quant_opt.update(g_quant, q_opt_state, quant_train)
         quant_train = optax.apply_updates(quant_train, upd_q)
@@ -203,17 +251,34 @@ def make_qat_step(
             quant_train = new_qt
             rest = dict(rest, _quant_frozen=new_frozen,
                         quant_est=ups["quant_est"])
-        return (model_params, quant_train, rest, m_opt_state, q_opt_state), loss
+        if freeze_on:
+            quant_tree = _merge_quant_tree(quant_train, rest)
+            thr = osc.freeze_threshold(osc_freeze, osc_step, total_steps)
+            fstate = osc.freeze_update(osc_freeze, wq_cfg,
+                                       osc_state["freeze"], model_params,
+                                       quant_tree, thr)
+            model_params = osc.project_frozen(wq_cfg, fstate, model_params,
+                                              quant_tree)
+            osc_state = dict(osc_state, freeze=fstate)
+        osc_state = dict(osc_state, step=osc_step + 1)
+        return QATState(model_params, quant_train, rest, m_opt_state,
+                        q_opt_state, osc_state), loss
 
-    def init_state(variables: dict):
+    def init_state(variables: dict) -> QATState:
         model_params, quant_train, rest = partition_variables(variables,
                                                               trainable)
-        return (
+        osc_state = {"step": jnp.int32(0)}
+        if freeze_on:
+            quant_tree = _merge_quant_tree(quant_train, rest)
+            osc_state["freeze"] = osc.freeze_init(osc_freeze, wq_cfg,
+                                                  model_params, quant_tree)
+        return QATState(
             model_params,
             quant_train,
             rest,
             model_opt.init(model_params),
             quant_opt.init(quant_train),
+            osc_state,
         )
 
     return step, init_state

@@ -35,13 +35,18 @@ from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
 from fp8_quantization_tpu.quant import ESTIMATE
 from fp8_quantization_tpu.quant.sites import QuantPhase
 
-DEPTHS = (2, 6)
-REPEATS = 3
+REPEATS = 5
 
 
-def slope(f, *args):
+def slope(f, *args, depths=(2, 6)):
+    """Per-iteration time from the slope between two fori_loop depths.
+
+    The chain must be deep enough that the differential compute dominates
+    the ~29 ms per-call tunnel overhead and its variance — shallow (2, 6)
+    decode chains measured NEGATIVE slopes on 8-layer models (pure noise).
+    Decode uses (8, 64); prefill (2, 8)."""
     ts = {}
-    for n in DEPTHS:
+    for n in depths:
         g = jax.jit(lambda *a, n=n: f(n, *a))
         float(g(*args))
         best = float("inf")
@@ -50,7 +55,7 @@ def slope(f, *args):
             float(g(*args))
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
-    n0, n1 = DEPTHS
+    n0, n1 = depths
     return (ts[n1] - ts[n0]) / (n1 - n0)
 
 
@@ -166,7 +171,7 @@ def main():
 
     print("prefill bench (first compile is slow)...", file=sys.stderr,
           flush=True)
-    t_pre = slope(prefill_chain, variables, base)
+    t_pre = slope(prefill_chain, variables, base, depths=(2, 8))
     pre_tps = t_len / t_pre
 
     # --- decode ---
@@ -189,7 +194,7 @@ def main():
         return acc
 
     print("decode bench...", file=sys.stderr, flush=True)
-    t_dec = slope(decode_chain, variables, tok0, cache)
+    t_dec = slope(decode_chain, variables, tok0, cache, depths=(8, 64))
     dec_tps = b / t_dec
 
     print(json.dumps({

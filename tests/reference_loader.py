@@ -183,6 +183,107 @@ def _make_timm_stubs():
     return stubs
 
 
+def _make_torchvision_resnet_stub():
+    """Minimal torch ResNet matching torchvision's module tree exactly
+    (module names, state-dict keys, block attributes) so the reference's
+    ``models/resnet_quantized.py`` — which imports
+    ``torchvision.models.resnet.BasicBlock/Bottleneck`` and wraps
+    ``resnet18/resnet50`` — runs without torchvision installed (absent in
+    this environment; VERDICT r1 #5)."""
+    import types as _t
+
+    import torch
+    from torch import nn
+
+    class BasicBlock(nn.Module):
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            out += identity
+            return self.relu(out)
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            out += identity
+            return self.relu(out)
+
+    class ResNet(nn.Module):
+        def __init__(self, block, layers, num_classes=1000):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = self._make_layer(block, 64, layers[0])
+            self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+            self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+            self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+        def _make_layer(self, block, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * block.expansion:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * block.expansion, 1,
+                              stride, bias=False),
+                    nn.BatchNorm2d(planes * block.expansion),
+                )
+            layers = [block(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * block.expansion
+            for _ in range(1, blocks):
+                layers.append(block(self.inplanes, planes))
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = torch.flatten(self.avgpool(x), 1)
+            return self.fc(x)
+
+    mod = _t.ModuleType("torchvision.models.resnet")
+    mod.BasicBlock = BasicBlock
+    mod.Bottleneck = Bottleneck
+    mod.ResNet = ResNet
+    mod.resnet18 = lambda pretrained=False, num_classes=1000: ResNet(
+        BasicBlock, [2, 2, 2, 2], num_classes)
+    mod.resnet50 = lambda pretrained=False, num_classes=1000: ResNet(
+        Bottleneck, [3, 4, 6, 3], num_classes)
+    return mod
+
+
 _QUANT_STACK_CACHE = None
 
 
@@ -231,8 +332,14 @@ def load_reference_quant_stack():
     tv.models = tvm
     tv.__spec__ = _im.ModuleSpec("torchvision", loader=None)
     tvm.__spec__ = _im.ModuleSpec("torchvision.models", loader=None)
+    tvr = _make_torchvision_resnet_stub()
+    tvr.__spec__ = _im.ModuleSpec("torchvision.models.resnet", loader=None)
+    tvm.resnet = tvr
+    tvm.resnet18 = tvr.resnet18
+    tvm.resnet50 = tvr.resnet50
     stubs["torchvision"] = tv
     stubs["torchvision.models"] = tvm
+    stubs["torchvision.models.resnet"] = tvr
 
     order = [
         ("quantization/quantizers/utils.py", "quantization.quantizers.utils"),
@@ -259,12 +366,14 @@ def load_reference_quant_stack():
          "quantization.base_quantized_model"),
         ("models/mobilenet_v2.py", "models.mobilenet_v2"),
         ("models/mobilenet_v2_quantized.py", "models.mobilenet_v2_quantized"),
+        ("models/resnet_quantized.py", "models.resnet_quantized"),
         ("models/vit_quantized.py", "models.vit_quantized"),
     ]
 
     saved = {k: sys.modules.get(k) for k in stubs}
     sys.modules.update(stubs)
     ns = _t.SimpleNamespace()
+    ns.torchvision_resnet = tvr  # stub factories for building FP32 resnets
     try:
         for relpath, name in order:
             path = os.path.join(REFERENCE_ROOT, relpath)

@@ -271,17 +271,36 @@ class QuantLlamaBlock(nn.Module):
             x = x + attn_out.astype(jnp.float32)
             return self._mlp(x, qp), k_cache, v_cache
 
+        from ..ops.pallas.attention import use_fused
+
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
+        # serving prefill (t > 1, frozen ranges): fused causal SDPA Pallas
+        # kernel — the (T, S) score tensor stays in VMEM instead of three+
+        # HBM round trips (ops/pallas/attention.py)
+        fused = t > 1 and qp.fast and not qp.estimating and use_fused()
         if chunk_attention and t > 1:
             # empty-cache prefill: the chunk IS the cache prefix; the store/
             # load round-trip matches the cache readback bit-for-bit
             kf = load(store(k, kb), kb)                        # (B, T, K, D)
             vf = load(store(v, vb), vb)
-            scores = jnp.einsum("btkgd,bukd->btkgu", qg, kf) / jnp.sqrt(
-                jnp.asarray(hd, jnp.float32)
-            )
-            causal = jnp.tril(jnp.ones((t, t), bool))          # (T_q, U_key)
-            scores = jnp.where(causal[None, :, None, None, :], scores, -1e30)
+            if fused:
+                ctx = self._fused_ctx(qg, kf, vf, offsets=None)
+            else:
+                scores = jnp.einsum("btkgd,bukd->btkgu", qg, kf) / jnp.sqrt(
+                    jnp.asarray(hd, jnp.float32)
+                )
+                causal = jnp.tril(jnp.ones((t, t), bool))      # (T_q, U_key)
+                scores = jnp.where(causal[None, :, None, None, :], scores,
+                                   -1e30)
+                probs = jax.nn.softmax(scores, axis=-1)
+                ctx = jnp.einsum("btkgu,bukd->btkgd", probs, vf)
+                ctx = ctx.reshape(b, t, s.num_heads * hd)
+        elif fused:
+            # warm/resumed prefill over the cache slab: T new queries at
+            # positions length[b]+i attend to keys [0, length[b]+i] — the
+            # kernel's per-batch causal ``offsets`` (the key axis is the
+            # whole slab; the causal cap masks the garbage tail)
+            ctx = self._fused_ctx(qg, kf, vf, offsets=length)
         else:
             # attention over the (logical) cache prefix [0, length + t)
             # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping
@@ -292,14 +311,35 @@ class QuantLlamaBlock(nn.Module):
             valid = key_pos[:, None, :] <= positions[..., None]  # (B, T, S)
             valid &= key_pos[:, None, :] < (length[:, None, None] + t)
             scores = jnp.where(valid[:, :, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("btkgs,bskd->btkgd", probs, vf)
-        ctx = ctx.reshape(b, t, s.num_heads * hd)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("btkgs,bskd->btkgd", probs, vf)
+            ctx = ctx.reshape(b, t, s.num_heads * hd)
 
         attn_out = QuantDense(qc=self.qc, features=s.hidden_size,
                               use_bias=False, name="o_proj")(ctx, qp)
         x = x + attn_out.astype(jnp.float32)
         return self._mlp(x, qp), k_cache, v_cache
+
+    def _fused_ctx(self, qg, kf, vf, offsets):
+        """Context via the fused SDPA kernel (bf16 operands, f32 softmax).
+
+        qg: (B, T, K, G, D) grouped queries; kf/vf: (B, S, K, D) keys/values
+        (S == T for the cold-prefill chunk, the full cache slab otherwise).
+        GQA k/v heads repeat to full heads (the kernel wants (B, H, S, D)).
+        """
+        from ..ops.pallas.attention import fused_sdpa
+
+        s = self.spec
+        b, t = qg.shape[0], qg.shape[1]
+        hd = qg.shape[-1]
+        groups = s.num_heads // s.num_kv_heads
+        qh = qg.reshape(b, t, s.num_heads, hd).transpose(0, 2, 1, 3)
+        rep = lambda u: jnp.repeat(
+            u.transpose(0, 2, 1, 3), groups, axis=1)   # (B, H, S, D)
+        ctx = fused_sdpa(
+            qh.astype(jnp.bfloat16), rep(kf).astype(jnp.bfloat16),
+            rep(vf).astype(jnp.bfloat16), causal=True, offsets=offsets)
+        return ctx.transpose(0, 2, 1, 3).reshape(b, t, s.num_heads * hd)
 
     def _mlp(self, x, qp: QuantPhase):
         s = self.spec

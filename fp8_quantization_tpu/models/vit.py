@@ -24,10 +24,10 @@ import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..config import QuantConfig
+from ..config import QMethod, QuantConfig
 from ..ops.activations import ACTIVATIONS
 from ..ops.layers import QuantConv, QuantDense, QuantLayerNorm
-from ..quant.sites import FIXED, QuantPhase, QuantSite
+from ..quant.sites import FIXED, QuantPhase, QuantSite, decoded
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,15 +47,25 @@ VIT_B_16 = ViTSpec()
 
 
 class _ActSite(nn.Module):
-    """A bare QuantizedActivation site (base_quantized_classes.py:189-206)."""
+    """A bare QuantizedActivation site (base_quantized_classes.py:189-206).
+
+    In chained serving (``qp.chained``, uniform per-tensor quantizers) the
+    site emits ``Coded`` int8 codes instead of fake-quantized f32 — the
+    downstream dense consumes them directly and every elementwise consumer
+    dequantizes inline (``decoded``), quartering inter-layer activation HBM
+    traffic at identical values."""
 
     qc: QuantConfig
 
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED):
         if qp.quant_a:
+            as_codes = (qp.chained and not qp.estimating
+                        and self.qc.act_quantizer().method
+                        != QMethod.fp_quantizer)
             x = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
-                          name="activation_quantizer")(x, qp)
+                          name="activation_quantizer")(x, qp,
+                                                       as_codes=as_codes)
         return x
 
 
@@ -81,15 +91,30 @@ class QuantViTSelfAttention(nn.Module):
             return h.reshape(b, t, s.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        # preferred f32: in fast mode q/k/v arrive bf16 (grid-exact); the
-        # MXU reads bf16 and accumulates f32, keeping softmax math in f32
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(
-            jnp.asarray(head_dim, jnp.float32)
-        )
-        probs = nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
-                         preferred_element_type=jnp.float32)
+        from ..ops.pallas.attention import use_fused
+
+        if qp.fast and not qp.estimating and use_fused():
+            # serving modes: one fused Pallas SDPA per (batch, head) — the
+            # (B, H, T, T) score tensor never touches HBM (~60 MB x3 per
+            # block at batch 32 on the einsum path; the biggest non-matmul
+            # cost of this model). Same bf16-operand/f32-accum contract.
+            from ..ops.pallas.attention import fused_sdpa
+
+            # bf16 operands: identical to what the MXU's single-pass f32
+            # dot truncates to on the einsum path, at half the kernel I/O
+            ctx = fused_sdpa(qh.astype(jnp.bfloat16),
+                             kh.astype(jnp.bfloat16),
+                             vh.astype(jnp.bfloat16), s_valid=t)
+        else:
+            # preferred f32: in fast mode q/k/v arrive bf16 (grid-exact); the
+            # MXU reads bf16 and accumulates f32, keeping softmax math in f32
+            scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32) / jnp.sqrt(
+                jnp.asarray(head_dim, jnp.float32)
+            )
+            probs = nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                             preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, s.hidden_size)
         return _ActSite(qc=self.qc, name="context_site")(ctx, qp)
 
@@ -113,8 +138,10 @@ class QuantViTBlock(nn.Module):
 
         # first residual connection + requant (vit_quantized.py:280-281);
         # the add runs in f32 — both operands are grid-exact site outputs
+        # (``decoded`` dequantizes chained int8 codes inline; identity else)
         x = _ActSite(qc=self.qc, name="residual1_site")(
-            h.astype(jnp.float32) + x.astype(jnp.float32), qp)
+            decoded(h).astype(jnp.float32) + decoded(x).astype(jnp.float32),
+            qp)
 
         y = QuantLayerNorm(qc=self.qc, epsilon=s.layer_norm_eps,
                            name="layernorm_after")(x, qp)
@@ -131,7 +158,8 @@ class QuantViTBlock(nn.Module):
         # output: dense + residual add + site (vit_quantized.py:137-156)
         y = QuantDense(qc=self.qc, features=s.hidden_size, name="output")(y, qp)
         return _ActSite(qc=self.qc, name="residual2_site")(
-            y.astype(jnp.float32) + x.astype(jnp.float32), qp)
+            decoded(y).astype(jnp.float32) + decoded(x).astype(jnp.float32),
+            qp)
 
 
 class QuantizedViT(nn.Module):
@@ -154,7 +182,7 @@ class QuantizedViT(nn.Module):
             name="patch_projection",
         )(x, qp)
         emb = emb.reshape(b, -1, s.hidden_size)
-        emb = _ActSite(qc=self.qc, name="patch_site")(emb, qp)
+        emb = decoded(_ActSite(qc=self.qc, name="patch_site")(emb, qp))
 
         cls = self.param(
             "cls_token", nn.initializers.zeros_init(), (1, 1, s.hidden_size)

@@ -37,7 +37,7 @@ from jax import lax
 from ..config import ApproxConfig, EstimatorConfig, QMethod, QuantConfig
 from ..numerics.approx_matmul import approx_matmul_golden
 from ..numerics.luts import get_error_table
-from ..quant.sites import FIXED, QuantPhase, QuantSite
+from ..quant.sites import FIXED, Coded, QuantPhase, QuantSite, decoded
 
 Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
 
@@ -295,27 +295,31 @@ class QuantDense(_QuantOpBase):
         return self._tail(sites, res, qp)
 
     def _dense_body(self, sites: _Sites, x, qp: QuantPhase):
-        iw, w4 = self._int8_weights(qp, x.shape[-1])
+        lead_shape = (x.codes if isinstance(x, Coded) else x).shape[:-1]
+        k_in = (x.codes if isinstance(x, Coded) else x).shape[-1]
+        iw, w4 = self._int8_weights(qp, k_in)
         if iw is not None:
             # native int8 MXU: activation codes x weight codes accumulate
             # exactly in int32 at 2x the bf16 matmul throughput (v5e)
             from .fastpath import quantize_acts_int8, quantized_matmul_int8
 
             s, zp, lo, hi = sites.act.uniform_int_params()
-            x2d = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            # chained input: dequantize the upstream site's codes inline
+            # (1 B/element read) — bit-exact with the fake-quantized f32
+            x2d = decoded(x).reshape(-1, k_in).astype(jnp.float32)
             codes, cx = quantize_acts_int8(x2d, s[0], zp[0], lo[0], hi[0])
             acc = None
             if w4 is not None:
                 from .pallas.dequant_matmul import int4_matmul
 
-                acc = int4_matmul(codes, w4, k=x.shape[-1])
+                acc = int4_matmul(codes, w4, k=k_in)
             # w_has_zp=True unconditionally: even symmetric weights can
             # calibrate UNSIGNED (all-nonnegative kernel -> signed=0), which
             # stores with an effective -128 zero point; the correction terms
             # are arithmetically zero for signed-symmetric layers anyway
             out2d = quantized_matmul_int8(codes, iw, s[0], cx, w_has_zp=True,
                                           acc=acc)
-            res = out2d.reshape(*x.shape[:-1], self.features)
+            res = out2d.reshape(*lead_shape, self.features)
             if self.use_bias:
                 res = res + self.param(
                     "bias", nn.initializers.zeros_init(), (self.features,)
@@ -324,6 +328,7 @@ class QuantDense(_QuantOpBase):
                 res = sites.res(res, qp)
             return res
 
+        x = decoded(x)  # chained codes only feed the int8 path above
         pw = self._packed_weights(qp)
         if pw is not None:
             # real-8-bit serving: weights stay 1 byte in HBM, decoded to bf16
@@ -453,6 +458,7 @@ class QuantConv(_QuantOpBase):
         return strides, self.padding, None
 
     def _conv_body(self, sites: _Sites, x, qp: QuantPhase):
+        x = decoded(x)  # convs have no chained-codes fast path (yet)
         in_ch = x.shape[-1]
         ksize = tuple(self.kernel_size)
         _, dilation = self._spatial_defaults()
@@ -712,6 +718,7 @@ class QuantLayerNorm(_QuantOpBase):
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED):
         sites = _Sites(self)
+        x = decoded(x)  # chained input: fused dequant (1 B/element read)
         features = x.shape[-1]
 
         x, _ = self._quant_in(sites, x, qp)

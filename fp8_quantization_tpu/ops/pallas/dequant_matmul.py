@@ -41,7 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...numerics.codec import pack_exmy, quantize_exmy, unpack_exmy
+from ...numerics.codec import (
+    pack_exmy,
+    quantize_exmy,
+    unpack_consts,
+    unpack_exmy,
+    unpack_exmy_bits,
+)
 from .fused_matmul import _pad_to, _round_up, quantize_block
 
 
@@ -210,7 +216,7 @@ def unpack_weights(pw: PackedWeights, dtype=jnp.float32):
 def _kernel(
     amax_ref, abias_ref, amant_ref, asign_ref,
     rmax_ref, rbias_ref, rmant_ref, rsign_ref,
-    x_ref, w_ref, wb_ref, o_ref, acc_ref,
+    x_ref, w_ref, web_ref, wss_ref, o_ref, acc_ref,
     *, expo_width: int, mant_width: int,
     quantize_x: bool, requantize_out: bool, n_k: int,
 ):
@@ -225,8 +231,11 @@ def _kernel(
         x = quantize_block(
             x, amax_ref[0, 0], abias_ref[0, 0], amant_ref[0, 0], asign_ref[0, 0]
         )
-    w = unpack_exmy(w_ref[:], expo_width, mant_width, wb_ref[:],
-                    dtype=jnp.bfloat16)
+    # bits-assembly decode with the per-channel constants precomputed by the
+    # caller — the decode is the VPU bound of the weight-streaming serving
+    # step, so op count here is tokens/s
+    w = unpack_exmy_bits(w_ref[:], expo_width, mant_width, web_ref[:],
+                         wss_ref[:], dtype=jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
@@ -308,6 +317,8 @@ def dequant_matmul(
     wbp = _pad_to(
         jnp.asarray(w_bias, jnp.int32).reshape(1, -1), bn, 1
     )
+    # hoisted per-channel decode constants (see unpack_exmy_bits)
+    webp, wssp = unpack_consts(wbp, mant_width)
     mp, kp = xp.shape
     np_ = wp.shape[1]
     n_k = kp // bk
@@ -332,6 +343,8 @@ def dequant_matmul(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -348,5 +361,6 @@ def dequant_matmul(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
-    )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xp, wp, wbp)
+    )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xp, wp, webp,
+      wssp)
     return out[:m, :n]

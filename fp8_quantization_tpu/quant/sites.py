@@ -18,12 +18,42 @@ to new variables — jittable, shardable, checkpointable as a pytree.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
+
 import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
 from ..config import EstimatorConfig, QMethod, QuantizerConfig
 from . import estimators, quantizers
+
+
+class Coded(NamedTuple):
+    """Activations as int8 codes on a frozen per-tensor uniform grid.
+
+    The chained serving currency (``QuantPhase.chained``): instead of a
+    fake-quantized f32 tensor (4 B/element of HBM traffic between every
+    layer), a site emits ``codes`` with ``value = scale * (codes - cx)`` —
+    1 B/element. ``decoded(Coded)`` reproduces the fake-quant output
+    BIT-EXACTLY (codes and cx are small integers, exact in f32, and the
+    final multiply is the same op ``uniform_apply`` ends with), so chained
+    logits match the unchained packed path exactly.
+    """
+
+    codes: jnp.ndarray   # int8, the tensor
+    scale: jnp.ndarray   # f32 scalar
+    cx: jnp.ndarray      # f32 scalar: effective zero point in code coords
+
+
+def decoded(x):
+    """Materialize a ``Coded`` back to f32 values; identity for arrays.
+
+    XLA fuses this into the consuming elementwise op / matmul prologue, so
+    the f32 form never round-trips HBM — the read stays 1 B/element.
+    """
+    if isinstance(x, Coded):
+        return x.scale * (x.codes.astype(jnp.float32) - x.cx)
+    return x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +91,14 @@ class QuantPhase:
     # simulates FP8 in f32 tensors, SURVEY §0). Layers without packed codes
     # fall through to their normal path.
     packed: bool = False
+    # chained int8 serving (uniform quantizers, on top of ``packed``):
+    # activation sites emit ``Coded`` int8 codes instead of fake-quantized
+    # f32 — a layer's requant epilogue IS the next layer's input
+    # representation (the steady state of the reference's hijacker protocol,
+    # hijacker.py:95-114) — quartering inter-layer activation HBM traffic.
+    # Value-identical to the unchained packed path (see ``Coded``). Models
+    # must be chained-aware (their elementwise code calls ``decoded``).
+    chained: bool = False
 
     @property
     def estimating(self) -> bool:
@@ -72,6 +110,7 @@ ESTIMATE = QuantPhase(phase="estimate")
 FIXED = QuantPhase(phase="fixed")
 FAST = QuantPhase(phase="fixed", fast=True)
 PACKED = QuantPhase(phase="fixed", fast=True, packed=True)
+CHAINED = QuantPhase(phase="fixed", fast=True, packed=True, chained=True)
 
 
 class QuantSite(nn.Module):
@@ -82,12 +121,33 @@ class QuantSite(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x, qp: QuantPhase = FIXED, *, with_bias: bool = False):
+    def __call__(self, x, qp: QuantPhase = FIXED, *, with_bias: bool = False,
+                 as_codes: bool = False):
         """Quantize ``x``; optionally also return the FP exponent bias.
 
         Returns ``y`` or ``(y, bias)`` when ``with_bias`` (the approx-matmul
         path needs the derived ``custom_bias``, hijacker.py:130-137).
+
+        ``as_codes`` (chained serving): return a :class:`Coded` — the int8
+        codes of this site's frozen uniform grid instead of the
+        fake-quantized f32 values. ``decoded`` of the result is bit-exact
+        with the normal return. Per-tensor uniform quantizers, fixed phase
+        only.
         """
+        if isinstance(x, Coded):
+            x = decoded(x)  # fused dequant: reads 1 B/element
+        if as_codes:
+            if (qp.estimating or self.qcfg.per_channel
+                    or self.qcfg.method == QMethod.fp_quantizer):
+                raise ValueError(
+                    "as_codes needs a frozen per-tensor uniform site")
+            from ..ops.fastpath import quantize_acts_int8
+
+            if x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)
+            s, zp, lo, hi = self.uniform_int_params()
+            codes, cx = quantize_acts_int8(x, s[0], zp[0], lo[0], hi[0])
+            return Coded(codes, s[0], cx)
         # quantizer math always runs in f32; a bf16 input from an upstream
         # fast-mode site holds grid-exact values, so the upcast is lossless
         if x.dtype != jnp.float32:

@@ -30,7 +30,13 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="uniform symmetric INT8 config on the native int8 "
                         "MXU (qp.packed) instead of the FP8 modes")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused Pallas SDPA branch (A/B)")
     args = p.parse_args(argv)
+
+    if args.no_fused:
+        from fp8_quantization_tpu.ops.pallas import attention
+        attention.DISABLE_FUSED = True
 
     from fp8_quantization_tpu.config import (
         EstimatorConfig,
@@ -122,6 +128,11 @@ def main(argv=None):
         print(f"int8-packed {len(report)} dense layers", flush=True)
         modes.append(("int8", QuantPhase(phase="fixed", fast=True,
                                          packed=True), i8_vars))
+        # chained: activation sites emit int8 codes between layers
+        # (bit-exact with int8-packed; 1 B/element inter-layer traffic)
+        modes.append(("chained", QuantPhase(phase="fixed", fast=True,
+                                            packed=True, chained=True),
+                      i8_vars))
 
     results = {}
     for name, qp, vs in modes:
@@ -134,6 +145,9 @@ def main(argv=None):
     if "int8" in results:
         print(f"int8 vs fast: {results['int8'] / results['fast']:.3f}x; "
               f"int8 vs fp32: {results['int8'] / results['fp32']:.3f}x")
+    if "chained" in results:
+        print(f"chained vs fast: {results['chained'] / results['fast']:.3f}x; "
+              f"chained vs int8: {results['chained'] / results['int8']:.3f}x")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,129 @@
+"""Chained int8 activation serving (QuantPhase.chained).
+
+Activation sites emit ``Coded`` int8 codes; dense layers consume them
+directly and elementwise consumers dequantize inline — the layer's requant
+epilogue IS the next layer's input representation (the steady state of the
+reference's hijacker protocol, hijacker.py:95-114). Values must be
+BIT-EXACT with the unchained packed int8 path: ``decoded(encode(x))``
+reproduces ``uniform_apply(x)`` exactly (small integers are exact in f32
+and the final multiply is the same op).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fp8_quantization_tpu.config import (
+    EstimatorConfig,
+    QMethod,
+    QuantConfig,
+    RangeMethod,
+    RunMethodConfig,
+)
+from fp8_quantization_tpu.models.vit import QuantizedViT, ViTSpec
+from fp8_quantization_tpu.ops.fastpath import (
+    pack_dense_caches,
+    strip_packed_params,
+)
+from fp8_quantization_tpu.quant import ESTIMATE
+from fp8_quantization_tpu.quant.quantizers import uniform_apply
+from fp8_quantization_tpu.quant.sites import (
+    CHAINED,
+    PACKED,
+    Coded,
+    QuantPhase,
+    QuantSite,
+    decoded,
+)
+
+
+def _int8_qc():
+    return QuantConfig(
+        method=QMethod.symmetric_uniform,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        run_method=RunMethodConfig(),
+    )
+
+
+def test_coded_decode_bitexact_vs_fake_quant(rng):
+    """decoded(site(x, as_codes=True)) == site(x) bit-for-bit."""
+    qc = _int8_qc()
+    site = QuantSite(qc.act_quantizer(), qc.act_range,
+                     name="activation_quantizer")
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 3
+
+    variables = site.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = site.apply(variables, x, ESTIMATE,
+                        mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    fake = site.apply(variables, x, QuantPhase(phase="fixed"))
+    coded = site.apply(variables, x, QuantPhase(phase="fixed"),
+                       as_codes=True)
+    assert isinstance(coded, Coded)
+    assert coded.codes.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(decoded(coded)),
+                                  np.asarray(fake))
+    # and the state dict round-trips through uniform_apply identically
+    q = variables["quant"]["q"]
+    np.testing.assert_array_equal(
+        np.asarray(fake),
+        np.asarray(uniform_apply(qc.act_quantizer(), q, x)))
+
+
+def test_as_codes_guards():
+    qc_fp = QuantConfig(method=QMethod.fp_quantizer, quantize_input=True)
+    site = QuantSite(qc_fp.act_quantizer(), qc_fp.act_range)
+    x = jnp.ones((4, 4))
+    variables = site.init(jax.random.key(0), x, ESTIMATE)
+    with pytest.raises(ValueError, match="as_codes"):
+        site.apply(variables, x, QuantPhase(phase="fixed"), as_codes=True)
+
+
+@pytest.fixture(scope="module")
+def calibrated_vit():
+    spec = ViTSpec(hidden_size=48, num_layers=2, num_heads=4, mlp_dim=96,
+                   patch_size=16, image_size=64, num_classes=11)
+    qc = _int8_qc()
+    model = QuantizedViT(qc=qc, spec=spec)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    variables = model.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = model.apply(variables, x, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    from fp8_quantization_tpu.eval import cache_quantized_weights
+
+    variables = cache_quantized_weights(model, variables, x, fast=True)
+    variables, report = pack_dense_caches(variables, qc)
+    variables = strip_packed_params(variables)
+    assert len(report) > 0
+    return model, variables, x, qc
+
+
+def test_chained_vit_bitexact_vs_packed(calibrated_vit):
+    """Whole-model invariant: chained logits == packed logits exactly."""
+    model, variables, x, _ = calibrated_vit
+    y_packed = np.asarray(model.apply(variables, x, PACKED))
+    y_chained = np.asarray(model.apply(variables, x, CHAINED))
+    np.testing.assert_array_equal(y_chained, y_packed)
+
+
+def test_chained_vit_under_jit(calibrated_vit):
+    """The chained phase jits (static phase; Coded is a pytree) and matches
+    the eager apply."""
+    model, variables, x, _ = calibrated_vit
+
+    @jax.jit
+    def f(variables, x):
+        return model.apply(variables, x, CHAINED)
+
+    np.testing.assert_array_equal(
+        np.asarray(f(variables, x)),
+        np.asarray(model.apply(variables, x, CHAINED)))

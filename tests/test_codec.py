@@ -83,3 +83,26 @@ def test_jit_and_grad_safe():
     f = jax.jit(lambda x: quantize_exmy(x, 4, 3, 7))
     x = jnp.linspace(-3, 3, 64)
     np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(quantize_exmy(x, 4, 3, 7)))
+
+
+def test_unpack_exmy_bits_matches_unpack_exmy():
+    """The bits-assembly kernel decode (unpack_exmy_bits) is bit-exact with
+    the reference decode over every byte code, format, and bias — including
+    subnormal codes (e == 0) and both signs."""
+    from fp8_quantization_tpu.numerics.codec import (
+        unpack_consts, unpack_exmy, unpack_exmy_bits)
+
+    codes = jnp.arange(256, dtype=jnp.uint8).reshape(16, 16)
+    for ew, mw in [(3, 4), (4, 3), (2, 5), (5, 2)]:
+        for bias in (-3, 0, 1, 3, 7, 15, 31):
+            b = jnp.full((1, 16), bias, jnp.int32)
+            ref = np.asarray(unpack_exmy(codes, ew, mw, b))
+            eb, ss = unpack_consts(b, mw)
+            ours = np.asarray(unpack_exmy_bits(codes, ew, mw, eb, ss))
+            np.testing.assert_array_equal(ours, ref, err_msg=f"{ew=} {mw=} {bias=}")
+    # per-channel (vector) biases broadcast along K
+    b = jnp.asarray([[3, 4, 5, 6] * 4], jnp.int32)
+    eb, ss = unpack_consts(b, 4)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_exmy_bits(codes, 3, 4, eb, ss)),
+        np.asarray(unpack_exmy(codes, 3, 4, b)))

@@ -119,6 +119,65 @@ def test_continuous_batcher(calibrated, rng):
     assert len(batcher.retire(s2)) == 3
 
 
+def test_fused_sdpa_prefill_matches_einsum(calibrated, rng):
+    """FORCE_FUSED routes serving prefill (fast mode, t > 1) through the
+    Pallas SDPA kernel (interpret mode here): cold chunk prefill, cold slab
+    prefill, and warm resume over the cache slab (per-batch ``offsets``)
+    must all match the einsum path within the bf16-probability rounding the
+    kernel introduces on the PV matmul."""
+    from fp8_quantization_tpu.ops.pallas import attention
+    from fp8_quantization_tpu.quant.sites import QuantPhase
+
+    model, variables = calibrated
+    seq = jnp.asarray(rng.integers(0, SPEC.vocab_size, size=(2, 12)),
+                      jnp.int32)
+    cache0 = KVCache.zeros(SPEC, 2, SPEC.max_seq_len)
+    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+    _, ups = model.apply(variables, seq, cache0, warm,
+                         mutable=["quant_cache"])
+    v = {**variables, **ups}
+    fast = QuantPhase(phase="fixed", fast=True)
+
+    def run(**kw):
+        logits, cache = model.apply(v, seq, cache0, fast, **kw)
+        # warm resume: 7-token prefix, then a 5-token chunk over the slab
+        _, cache_a = model.apply(v, seq[:, :7], cache0, fast)
+        logits_w, cache_w = model.apply(v, seq[:, 7:], cache_a, fast)
+        return logits, cache, logits_w, cache_w
+
+    le_c, cache_e, le_w, cache_ew = run()
+    le_chunk, _, _, _ = run(chunk_attention=True)
+    assert not attention.FORCE_FUSED
+    attention.FORCE_FUSED = True
+    try:
+        lf_c, cache_f, lf_w, cache_fw = run()
+        lf_chunk, _, _, _ = run(chunk_attention=True)
+    finally:
+        attention.FORCE_FUSED = False
+
+    def close(a, b):
+        # the kernel's bf16-probs rounding (~2^-8 relative on the context)
+        # crosses FP8 act-grid boundaries downstream, so logits differ by
+        # whole grid steps on a FEW elements — assert distribution-level
+        # agreement + identical greedy tokens, not elementwise tolerance
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.sqrt(((a - b) ** 2).mean()) / b.std()
+        assert rel < 0.1, rel
+        np.testing.assert_array_equal(a.argmax(-1), b.argmax(-1))
+
+    close(lf_c, le_c)
+    close(lf_chunk, le_chunk)
+    close(lf_w, le_w)
+    # layer 0's KV cache is BIT-identical (its k/v are computed before any
+    # attention; the kernel only changes the context computation, not the
+    # cache stores — deeper layers see upstream grid-step drift)
+    np.testing.assert_array_equal(np.asarray(cache_f.k[0]),
+                                  np.asarray(cache_e.k[0]))
+    np.testing.assert_array_equal(np.asarray(cache_fw.v[0]),
+                                  np.asarray(cache_ew.v[0]))
+
+
 def test_chunk_attention_prefill_matches_cache_path(calibrated, rng):
     """Empty-cache prefill with chunk_attention must be value-identical to
     the masked full-cache attention (and leave the same cache behind)."""

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="freeze + byte-pack dense weights before eval "
                             "(FP: 1-byte ExMy codes + fused dequant kernel; "
                             "uniform: native int8 MXU path)")
+        p.add_argument("--chained-acts", action="store_true",
+                       help="chained int8 serving (with --packed-weights, "
+                            "uniform per-tensor configs): activation sites "
+                            "pass int8 codes between layers — value-"
+                            "identical, 1 B/element inter-layer traffic")
         p.add_argument("--native-loader", action="store_true",
                        help="decode/preprocess val batches in the C++ "
                             "thread pool (runtime/libimage_loader.so)")
@@ -444,6 +449,7 @@ def run_validate(args) -> dict:
             quant_a=args.act_quant,
             fast=getattr(args, "fast_mode", False),
             packed=getattr(args, "packed_weights", False),
+            chained=getattr(args, "chained_acts", False),
             qc=qc,
             calib_example=example,
             bn_reestimate_batches=bn_batches,

@@ -133,6 +133,7 @@ def evaluate(
     quant_a: bool = True,
     fast: bool = False,
     packed: bool = False,
+    chained: bool = False,
     topk: int = 5,
     model_kwargs: Optional[dict] = None,
 ) -> Dict[str, float]:
@@ -141,9 +142,12 @@ def evaluate(
     pair with weights cached via ``cache_quantized_weights(fast=True)``).
     ``packed=True`` additionally uses byte-packed weight codes installed by
     ``ops.fastpath.pack_dense_caches`` (FP: Pallas dequant matmul; uniform:
-    native int8 MXU); layers without codes fall through."""
+    native int8 MXU); layers without codes fall through.
+    ``chained=True`` (uniform per-tensor configs, on top of packed) passes
+    int8 activation codes between layers — value-identical, 1 B/element
+    inter-layer traffic (quant/sites.py::Coded)."""
     qp = QuantPhase(phase="fixed", quant_w=quant_w, quant_a=quant_a,
-                    fast=fast, packed=packed)
+                    fast=fast, packed=packed, chained=chained)
     model_kwargs = model_kwargs or {}
 
     # variables are a traced argument (not a closure) so repeated evaluate()
@@ -170,6 +174,7 @@ def validate_quantized(
     quant_a: bool = True,
     fast: bool = False,
     packed: bool = False,
+    chained: bool = False,
     qc=None,
     calib_example=None,
     bn_reestimate_batches: Optional[Iterable[Any]] = None,
@@ -206,7 +211,7 @@ def validate_quantized(
     metrics = evaluate(
         model, variables, eval_batches,
         quant_w=quant_w, quant_a=quant_a, fast=fast, packed=packed,
-        model_kwargs=model_kwargs,
+        chained=chained, model_kwargs=model_kwargs,
     )
     return metrics, variables
 

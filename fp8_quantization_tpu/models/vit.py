@@ -27,7 +27,13 @@ import jax.numpy as jnp
 from ..config import QMethod, QuantConfig
 from ..ops.activations import ACTIVATIONS
 from ..ops.layers import QuantConv, QuantDense, QuantLayerNorm
-from ..quant.sites import FIXED, QuantPhase, QuantSite, decoded
+from ..quant.sites import (
+    FIXED,
+    QuantPhase,
+    QuantSite,
+    codes_eligible,
+    decoded,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,12 +66,9 @@ class _ActSite(nn.Module):
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED):
         if qp.quant_a:
-            as_codes = (qp.chained and not qp.estimating
-                        and self.qc.act_quantizer().method
-                        != QMethod.fp_quantizer)
             x = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
-                          name="activation_quantizer")(x, qp,
-                                                       as_codes=as_codes)
+                          name="activation_quantizer")(
+                x, qp, as_codes=codes_eligible(self.qc.act_quantizer(), qp))
         return x
 
 
@@ -87,25 +90,30 @@ class QuantViTSelfAttention(nn.Module):
 
         b, t, _ = x.shape
 
-        def split(h):
-            return h.reshape(b, t, s.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        qh, kh, vh = split(q), split(k), split(v)
         from ..ops.pallas.attention import use_fused
 
         if qp.fast and not qp.estimating and use_fused():
-            # serving modes: one fused Pallas SDPA per (batch, head) — the
-            # (B, H, T, T) score tensor never touches HBM (~60 MB x3 per
-            # block at batch 32 on the einsum path; the biggest non-matmul
-            # cost of this model). Same bf16-operand/f32-accum contract.
+            # serving modes: fused Pallas SDPA — the (B, H, T, T) score
+            # tensor never touches HBM (~60 MB x3 per block at batch 32 on
+            # the einsum path). Token-major (B, T, H, D) operands: the head
+            # split is a free reshape view, so NO transpose/pad relayouts
+            # materialize around the kernel (those cost more than the
+            # kernel saves — measured r2). bf16 operands are identical to
+            # what the MXU's single-pass f32 dot truncates to anyway.
             from ..ops.pallas.attention import fused_sdpa
 
-            # bf16 operands: identical to what the MXU's single-pass f32
-            # dot truncates to on the einsum path, at half the kernel I/O
-            ctx = fused_sdpa(qh.astype(jnp.bfloat16),
-                             kh.astype(jnp.bfloat16),
-                             vh.astype(jnp.bfloat16), s_valid=t)
+            tok = lambda u: decoded(u).reshape(
+                b, t, s.num_heads, head_dim).astype(jnp.bfloat16)
+            ctx = fused_sdpa(tok(q), tok(k), tok(v), s_valid=t)
+            ctx = ctx.reshape(b, t, s.hidden_size)
         else:
+            def split(u):
+                # chained dense outputs arrive as Coded — dequantize inline
+                u = decoded(u)
+                return u.reshape(
+                    b, t, s.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = split(q), split(k), split(v)
             # preferred f32: in fast mode q/k/v arrive bf16 (grid-exact); the
             # MXU reads bf16 and accumulates f32, keeping softmax math in f32
             scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
@@ -115,7 +123,7 @@ class QuantViTSelfAttention(nn.Module):
             probs = nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
                              preferred_element_type=jnp.float32)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, s.hidden_size)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, s.hidden_size)
         return _ActSite(qc=self.qc, name="context_site")(ctx, qp)
 
 
@@ -209,4 +217,4 @@ class QuantizedViT(nn.Module):
         logits = QuantDense(
             qc=self.qc, features=s.num_classes, name="classifier"
         )(h[:, 0, :], qp)
-        return logits
+        return decoded(logits)  # chained: logits come back as codes

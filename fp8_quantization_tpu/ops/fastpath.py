@@ -122,7 +122,9 @@ class Int8Weights(NamedTuple):
 
     codes: jnp.ndarray   # (K, N) int8
     scale: jnp.ndarray   # (N,) f32 per-channel (or broadcast per-tensor)
-    zp: jnp.ndarray      # (N,) f32 — zero point in [0, 255] coords (128 = none)
+    zp: Optional[jnp.ndarray]  # (N,) f32 zero point in [0, 255] coords, or
+    #                    None when every channel is signed-symmetric (the
+    #                    Xsum correction then elides statically)
     wsum: jnp.ndarray    # (N,) int32 — sum_k codes[k, n]
 
 
@@ -288,16 +290,23 @@ def pack_dense_caches(variables, qc: QuantConfig,
             shift = 8.0 if n_bits <= 4 else 128.0
         x_int = jnp.round(w_q / scale[None, :]) + zp_q[None, :]
         codes = (x_int - shift).astype(jnp.int8)
+        # stored zp in shifted coords: c_w = zp - 128 (0 for signed
+        # symmetric). Installed ONLY when some channel's c_w is nonzero —
+        # key presence is static under jit, so symmetric-signed layers
+        # statically elide the whole Xsum correction (an extra (M, K)
+        # reduction per dense that round-1 paid unconditionally).
+        zp_st = zp_q + (128.0 - shift)
         if n_bits <= 4:
             node["w_i4"] = pack_int4(codes)
             node["w_i4_scale"] = scale
-            node["w_i4_zp"] = zp_q + (128.0 - shift)
+            if bool(jnp.any(zp_st != 128.0)):
+                node["w_i4_zp"] = zp_st
             node["w_i4_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
         else:
             node["w_i8"] = codes
             node["w_i8_scale"] = scale
-            # stored zp in shifted coords: c_w = zp - 128  (0 signed symm.)
-            node["w_i8_zp"] = zp_q + (128.0 - shift)
+            if bool(jnp.any(zp_st != 128.0)):
+                node["w_i8_zp"] = zp_st
             node["w_i8_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
         # exactness: int codes reproduce the cached fake-quantized weights
         rt = scale[None, :] * (codes.astype(jnp.float32) + shift - zp_q)

@@ -37,7 +37,14 @@ from jax import lax
 from ..config import ApproxConfig, EstimatorConfig, QMethod, QuantConfig
 from ..numerics.approx_matmul import approx_matmul_golden
 from ..numerics.luts import get_error_table
-from ..quant.sites import FIXED, Coded, QuantPhase, QuantSite, decoded
+from ..quant.sites import (
+    FIXED,
+    Coded,
+    QuantPhase,
+    QuantSite,
+    codes_eligible,
+    decoded,
+)
 
 Activation = Optional[Callable[[jnp.ndarray], jnp.ndarray]]
 
@@ -234,7 +241,10 @@ class _QuantOpBase(nn.Module):
             return Int8Weights(
                 codes=None if use_kernel else unpack_int4(w4, k),
                 scale=self.get_variable("quant_cache", "w_i4_scale"),
-                zp=self.get_variable("quant_cache", "w_i4_zp"),
+                # zp installed only when some channel has a nonzero c_w
+                # (key presence is static -> the Xsum correction elides)
+                zp=(self.get_variable("quant_cache", "w_i4_zp")
+                    if self.has_variable("quant_cache", "w_i4_zp") else None),
                 wsum=self.get_variable("quant_cache", "w_i4_sum"),
             ), (w4 if use_kernel else None)
         if not self.has_variable("quant_cache", "w_i8"):
@@ -242,7 +252,8 @@ class _QuantOpBase(nn.Module):
         return Int8Weights(
             codes=self.get_variable("quant_cache", "w_i8"),
             scale=self.get_variable("quant_cache", "w_i8_scale"),
-            zp=self.get_variable("quant_cache", "w_i8_zp"),
+            zp=(self.get_variable("quant_cache", "w_i8_zp")
+                if self.has_variable("quant_cache", "w_i8_zp") else None),
             wsum=self.get_variable("quant_cache", "w_i8_sum"),
         ), None
 
@@ -273,6 +284,7 @@ class _QuantOpBase(nn.Module):
         if self.activation is not None:
             # fast mode: a bf16 res-site output holds grid-exact values; the
             # activation itself must run in f32 to match the fixed phase
+            res = decoded(res)  # chained codes dequantize inline
             if res.dtype != jnp.float32:
                 res = res.astype(jnp.float32)
             res = self.activation(res)
@@ -313,19 +325,25 @@ class QuantDense(_QuantOpBase):
                 from .pallas.dequant_matmul import int4_matmul
 
                 acc = int4_matmul(codes, w4, k=k_in)
-            # w_has_zp=True unconditionally: even symmetric weights can
-            # calibrate UNSIGNED (all-nonnegative kernel -> signed=0), which
-            # stores with an effective -128 zero point; the correction terms
-            # are arithmetically zero for signed-symmetric layers anyway
-            out2d = quantized_matmul_int8(codes, iw, s[0], cx, w_has_zp=True,
-                                          acc=acc)
+            # iw.zp is present only for layers where some channel calibrated
+            # UNSIGNED (all-nonnegative kernel -> signed=0, effective -128
+            # zero point); signed-symmetric layers statically skip the whole
+            # Xsum correction (an extra (M, K) reduction)
+            out2d = quantized_matmul_int8(codes, iw, s[0], cx,
+                                          w_has_zp=iw.zp is not None, acc=acc)
             res = out2d.reshape(*lead_shape, self.features)
             if self.use_bias:
                 res = res + self.param(
                     "bias", nn.initializers.zeros_init(), (self.features,)
                 )
             if qp.quant_a and self.qc.run_method.res_quantizer_flag:
-                res = sites.res(res, qp)
+                # chained: the res-quant epilogue emits int8 codes straight
+                # out of the matmul epilogue — the layer's OUTPUT writes
+                # 1 B/element (consumers call ``decoded``)
+                res = sites.res(
+                    res, qp,
+                    as_codes=codes_eligible(
+                        self.qc.act_quantizer(self.n_bits_act), qp))
             return res
 
         x = decoded(x)  # chained codes only feed the int8 path above

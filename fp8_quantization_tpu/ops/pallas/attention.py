@@ -3,12 +3,21 @@
 The retarget of the hand-kernel effort at shapes XLA genuinely cannot fuse
 (VERDICT r1 next #2): a softmax between two matmuls forces XLA to
 materialize the (B, H, S, S) score tensor in HBM THREE+ times (scores write,
-softmax read/write, PV read). For ViT-B/16 batch 32 that is ~60 MB per block
-per pass — measured as the single largest non-matmul cost of the serving
-modes. This kernel computes QK^T -> mask -> softmax -> PV for one (batch,
-head-block) per grid step entirely in VMEM: at encoder/serving lengths
-(S <= ~4k) a head's K/V tile fits VMEM, so no online-softmax streaming is
-needed — one pass, zero HBM traffic for scores.
+softmax read/write, PV read). This kernel computes QK^T -> mask -> softmax
+-> PV for one (batch, q-block) per grid step entirely in VMEM: at
+encoder/serving lengths (S <= ~4k) a head's K/V tile fits VMEM, so no
+online-softmax streaming is needed — one pass, zero HBM traffic for scores.
+
+**Token-major layout.** Operands are (B, T, H, D) — exactly how the models'
+dense projections produce them — NOT the (B, H, T, D) head-major layout of
+library attention kernels. Measured on the v5e: the kernel body beats the
+XLA einsum chain in isolation (0.119 vs 0.158 ms at ViT-B/16 batch-32
+shape), but a head-major wrapper LOSES end-to-end because every transpose /
+pad / GQA-repeat around a ``pallas_call`` must materialize in HBM, while
+XLA fuses the same relayouts into its einsums for free. Token-major kills
+all of them: the head split is a free reshape view, GQA is a static head
+index inside the kernel (no ``jnp.repeat``), and blocks cover the full
+(H, D) trailing dims so unaligned S/D need no padding.
 
 Epilogue: the context can be requantized onto an activation site's FP8 grid
 in the same kernel (``res_params``) — the hijacker protocol's
@@ -25,7 +34,7 @@ Masking supports the three serving shapes:
   * causal over one chunk (Llama cold prefill: queries == keys),
   * causal with per-batch offsets over a cache slab (Llama warm/resumed
     prefill: T new queries at positions ``offsets[b] + i`` attend to a
-    longer key axis holding the cache prefix — ``kv`` length != q length).
+    longer key axis holding the cache prefix).
 """
 
 from __future__ import annotations
@@ -57,30 +66,32 @@ def use_fused() -> bool:
 
 def _kernel(rmax_ref, rbias_ref, rmant_ref, rsign_ref, off_ref,
             q_ref, k_ref, v_ref, o_ref,
-            *, bh: int, s_valid: int, bq: int, scale: float,
-            causal: bool, with_offsets: bool, requantize_out: bool):
-    # one grid step = one (batch, head-block); all bh heads unrolled —
-    # per-head programs measured overhead-bound (384 x ~33 us on ViT-B/16
-    # batch 32)
+            *, n_heads: int, kv_heads: int, s_valid: int, bq: int,
+            scale: float, causal: bool, with_offsets: bool,
+            requantize_out: bool):
+    # one grid step = one (batch, q-block); all heads unrolled — per-head
+    # programs measured overhead-bound. GQA: q head h reads kv head
+    # h // groups (a static in-VMEM slice; no repeat in HBM).
     # offsets ride in as ONE whole-(B,1) SMEM block (TPU lowering requires
-    # SMEM block dims divide 8/128 or equal the array's), indexed by batch
+    # SMEM block dims divide 8/128 or equal the array's), indexed by batch.
     off = off_ref[pl.program_id(0), 0] if with_offsets else 0
-    for h in range(bh):
-        q = q_ref[0, h].astype(jnp.bfloat16)            # (bq, D)
-        k = k_ref[0, h].astype(jnp.bfloat16)            # (Sk, D)
-        v = v_ref[0, h].astype(jnp.bfloat16)            # (Sk, D)
+    groups = n_heads // kv_heads
+    for h in range(n_heads):
+        q = q_ref[0, :, h, :].astype(jnp.bfloat16)            # (bq, D)
+        k = k_ref[0, :, h // groups, :].astype(jnp.bfloat16)  # (Sk, D)
+        v = v_ref[0, :, h // groups, :].astype(jnp.bfloat16)  # (Sk, D)
 
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                       # (bq, Sk)
+        ) * scale                                             # (bq, Sk)
 
         sq, sk = scores.shape
         key_pos = lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         mask = key_pos < s_valid
         if causal:
             q_pos = (lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-                     + pl.program_id(2) * bq + off)
+                     + pl.program_id(1) * bq + off)
             mask &= key_pos <= q_pos
         scores = jnp.where(mask, scores, -1e30)
 
@@ -90,17 +101,17 @@ def _kernel(rmax_ref, rbias_ref, rmant_ref, rsign_ref, off_ref,
         probs = p / l
 
         ctx = jnp.dot(probs.astype(jnp.bfloat16), v,
-                      preferred_element_type=jnp.float32)   # (bq, D)
+                      preferred_element_type=jnp.float32)     # (bq, D)
         if requantize_out:
             ctx = quantize_block(ctx, rmax_ref[0, 0], rbias_ref[0, 0],
                                  rmant_ref[0, 0], rsign_ref[0, 0])
-        o_ref[0, h] = ctx.astype(o_ref.dtype)
+        o_ref[0, :, h, :] = ctx.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "requantize_out", "out_dtype", "s_valid",
-                     "bq", "bh", "vmem_limit_mb"),
+                     "bq", "vmem_limit_mb"),
 )
 def fused_sdpa(
     q,
@@ -114,48 +125,44 @@ def fused_sdpa(
     requantize_out: bool = False,
     out_dtype=jnp.float32,
     bq: int = 512,
-    bh: Optional[int] = None,
     vmem_limit_mb: int = 100,
 ):
-    """softmax(q k^T / sqrt(D)) v — one (batch, head-block) per grid step,
-    whole key axis in VMEM, q blocked by ``bq`` for long sequences.
+    """softmax(q k^T / sqrt(D)) v — token-major operands, one (batch,
+    q-block) per grid step, whole key axis in VMEM.
 
     Args:
-      q: (B, H, T, D); k/v: (B, H, S, D) with S >= T allowed (cache slab).
-        Any float dtype; matmul operands are taken bf16 (what the MXU's
-        single-pass f32 dot truncates to anyway), softmax is f32.
+      q: (B, T, H, D); k/v: (B, S, HK, D) with S >= T allowed (cache slab)
+        and HK dividing H (GQA — handled by head indexing in the kernel, no
+        repeat). Any float dtype; matmul operands are taken bf16 (what the
+        MXU's single-pass f32 dot truncates to anyway), softmax is f32.
       s_valid: number of valid keys (<= S); the padded tail is masked.
-        Defaults to S. Padded query rows produce garbage rows that the
-        caller slices off.
+        Defaults to S.
       causal: decoder masking (key_pos <= query_pos [+ offsets]).
       offsets: optional (B,) int32 — per-batch position of query row 0
         (the cache prefix length in warm prefill). Only with ``causal``.
       res_params: (maxval, bias, mant, sign) scalars — requantize the
         context onto an FP8 grid in the epilogue (the ``context_site``).
-      bh: heads per grid step (VMEM knob); defaults to all H.
+      bq: q rows per grid step; T pads up to a multiple only when T > bq
+        (short sequences run unpadded — blocks cover full dims).
 
-    Returns (B, H, T, D) in ``out_dtype``.
+    Returns (B, T, H, D) in ``out_dtype``.
     """
-    b, h, t, d = q.shape
-    assert k.shape[0] == b and k.shape[1] == h and k.shape[3] == d, (
-        "repeat GQA k/v heads before calling")
-    assert v.shape == k.shape
-    sk = k.shape[2]
-    assert sk >= t or not causal
+    b, t, h, d = q.shape
+    assert k.shape[0] == b and k.shape[3] == d and v.shape == k.shape
+    hk = k.shape[2]
+    assert h % hk == 0, "kv heads must divide q heads (GQA)"
+    sk = k.shape[1]
     s_valid = s_valid if s_valid is not None else sk
     scale = 1.0 / float(d) ** 0.5
 
-    tp = _round_up(t, 128)
-    skp = _round_up(sk, 128)
-    dp = _round_up(d, 128)
-    bq = min(bq, tp)
-    bh = h if bh is None else bh
-    assert h % bh == 0
-    qp = _pad_to(_pad_to(q, tp, 2), dp, 3)
-    kp = _pad_to(_pad_to(k, skp, 2), dp, 3)
-    vp = _pad_to(_pad_to(v, skp, 2), dp, 3)
+    # no padding unless q must be blocked (T > bq); trailing (H, D) block
+    # dims always equal the array dims, so unaligned S/T/D lower fine
+    if t > bq:
+        tp = _round_up(t, bq)
+        qp = _pad_to(q, tp, 1)
+    else:
+        tp, bq, qp = t, t, q
     n_q = tp // bq
-    n_h = h // bh
 
     def scalars(params):
         if params is None:
@@ -174,42 +181,40 @@ def fused_sdpa(
     with_offsets = offsets is not None
     off = (jnp.asarray(offsets, jnp.int32).reshape(b, 1) if with_offsets
            else jnp.zeros((1, 1), jnp.int32))
-    smem = lambda: pl.BlockSpec((1, 1), lambda i, jh, jq: (0, 0),
+    smem = lambda: pl.BlockSpec((1, 1), lambda i, jq: (0, 0),
                                 memory_space=pltpu.SMEM)
     off_spec = pl.BlockSpec((b if with_offsets else 1, 1),
-                            lambda i, jh, jq: (0, 0),
+                            lambda i, jq: (0, 0),
                             memory_space=pltpu.SMEM)
-    qspec = pl.BlockSpec((1, bh, bq, dp), lambda i, jh, jq: (i, jh, jq, 0),
+    qspec = pl.BlockSpec((1, bq, h, d), lambda i, jq: (i, jq, 0, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = lambda: pl.BlockSpec((1, bh, skp, dp),
-                                  lambda i, jh, jq: (i, jh, 0, 0),
+    kvspec = lambda: pl.BlockSpec((1, sk, hk, d), lambda i, jq: (i, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
 
     interpret = jax.default_backend() not in ("tpu", "axon")
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, bh=bh, s_valid=s_valid, bq=bq, scale=scale,
-            causal=causal, with_offsets=with_offsets,
+            _kernel, n_heads=h, kv_heads=hk, s_valid=s_valid, bq=bq,
+            scale=scale, causal=causal, with_offsets=with_offsets,
             requantize_out=requantize_out or res_params is not None,
         ),
-        grid=(b, n_h, n_q),
+        grid=(b, n_q),
         in_specs=[smem(), smem(), smem(), smem(), off_spec,
                   qspec, kvspec(), kvspec()],
-        out_specs=pl.BlockSpec((1, bh, bq, dp),
-                               lambda i, jh, jq: (i, jh, jq, 0),
+        out_specs=pl.BlockSpec((1, bq, h, d), lambda i, jq: (i, jq, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, tp, dp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, h, d), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * tp * skp * dp,
-            bytes_accessed=(2 * b * h * tp * dp + 2 * b * h * skp * dp)
+            flops=2 * 2 * b * h * tp * sk * d,
+            bytes_accessed=(2 * b * h * tp * d + 2 * b * hk * sk * d)
             * q.dtype.itemsize,
-            transcendentals=b * h * tp * skp,
+            transcendentals=b * h * tp * sk,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rmax, rbias, rmant, rsign, off, qp, kp, vp)
-    return out[:, :, :t, :d]
+    )(rmax, rbias, rmant, rsign, off, qp, k, v)
+    return out[:, :t] if tp != t else out

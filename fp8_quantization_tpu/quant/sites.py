@@ -56,6 +56,13 @@ def decoded(x):
     return x
 
 
+def codes_eligible(qcfg: "QuantizerConfig", qp: "QuantPhase") -> bool:
+    """Whether a site may emit :class:`Coded` under this phase: chained
+    serving with a frozen per-tensor uniform grid (``as_codes`` guards)."""
+    return (qp.chained and not qp.estimating and not qcfg.per_channel
+            and qcfg.method != QMethod.fp_quantizer)
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantPhase:
     """Static per-call quantization context.

@@ -80,7 +80,21 @@ def main():
                     help="weight/act quantizer family (int8/int4 use the "
                          "uniform quantizers; with --packed they run the "
                          "native int8 MXU / fused int4 kernel)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused Pallas SDPA prefill branch (A/B)")
+    ap.add_argument("--chained", action="store_true",
+                    help="chained int8 serving: dense layers pass int8 codes "
+                         "(+scale) between each other (needs --quant int8 "
+                         "--packed; enables the res quantizer so layer "
+                         "outputs live on a frozen per-tensor grid)")
     args = ap.parse_args()
+
+    if args.chained and (args.quant != "int8" or not args.packed):
+        raise SystemExit("--chained needs --quant int8 --packed")
+
+    if args.no_fused:
+        from fp8_quantization_tpu.ops.pallas import attention
+        attention.DISABLE_FUSED = True
 
     spec = LlamaSpec(
         vocab_size=args.vocab, hidden_size=args.hidden,
@@ -109,7 +123,9 @@ def main():
             quantize_input=True,
             weight_range=EstimatorConfig(RangeMethod.current_minmax),
             act_range=EstimatorConfig(RangeMethod.allminmax),
-            run_method=RunMethodConfig(),
+            # chained: layer outputs requantize onto frozen per-tensor grids
+            # (the codes ARE the inter-layer currency)
+            run_method=RunMethodConfig(res_quantizer_flag=args.chained),
         )
     model = QuantizedLlama(qc=qc, spec=spec, packed_kv=args.packed_kv)
     kv_dtype = jnp.uint8 if args.packed_kv else jnp.bfloat16
@@ -143,7 +159,8 @@ def main():
 
         variables, report = pack_dense_caches(variables, qc)
         variables = strip_packed_params(variables)
-        fast = QuantPhase(phase="fixed", fast=True, packed=True)
+        fast = QuantPhase(phase="fixed", fast=True, packed=True,
+                          chained=args.chained)
         exact = sum(report.values()) / max(len(report), 1)
         w_bytes = sum(
             x.size * x.dtype.itemsize
@@ -209,6 +226,7 @@ def main():
         "packed_weights": bool(args.packed),
         "packed_kv": bool(args.packed_kv),
         "quant": args.quant,
+        "chained": args.chained,
     }))
 
 

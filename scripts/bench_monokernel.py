@@ -93,41 +93,51 @@ def main():
         "pallas_vs_xla": round(t["xla"] / t["pallas"], 4),
     }
 
-    # --- the retarget: fused SDPA vs unfused at ViT-B/16 batch-32 shape ---
+    # --- the retarget: fused SDPA vs unfused at ViT-B/16 batch-32 shape.
+    # Both sides start from the model's TOKEN-MAJOR activations
+    # (B, T, H*D) so the comparison includes each side's real relayout
+    # costs (the einsum fuses its transposes; the kernel needs none).
     b, h, s, d = 32, 12, 197, 64
-    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32).astype(
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32).astype(
         jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32).astype(
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32).astype(
         jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32).astype(
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32).astype(
         jnp.bfloat16)
 
-    def unfused_ref(qh, kh, vh):
+    def unfused_ref(qt, kt, vt):
+        split = lambda u: u.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        qh, kh, vh = split(qt), split(kt), split(vt)
         scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32) / jnp.sqrt(
             jnp.asarray(d, jnp.float32))
         probs = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(jnp.bfloat16), vh,
-                          preferred_element_type=jnp.float32)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(jnp.bfloat16), vh,
+                       preferred_element_type=jnp.float32)
+        return o.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
-    def sdpa_fused(n):
-        @jax.jit
-        def f(q, k, v):
-            def body(_, acc):
-                o = fused_sdpa(q + acc.astype(jnp.bfloat16) * 0, k, v,
-                               s_valid=s)
-                return acc + o[0, 0, 0, 0]
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return f
+    def fused(qt, kt, vt):
+        tok = lambda u: u.reshape(b, s, h, d)
+        o = fused_sdpa(tok(qt), tok(kt), tok(vt), s_valid=s)
+        return o.reshape(b, s, h * d)
 
-    def sdpa_unfused(n):
-        @jax.jit
-        def f(q, k, v):
-            def body(_, acc):
-                o = unfused_ref(q + acc.astype(jnp.bfloat16) * 0, k, v)
-                return acc + o[0, 0, 0, 0]
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return f
+    def chain_of(fn):
+        def build(n):
+            @jax.jit
+            def f(q, k, v):
+                def body(_, acc):
+                    o = fn(q + acc.astype(jnp.bfloat16) * 0, k, v)
+                    # depend on EVERY output element — a single-element
+                    # dependency lets XLA narrow the whole einsum chain to
+                    # one row (measured 12x phantom speedup), while the
+                    # opaque pallas_call computes everything
+                    return acc + jnp.sum(o.astype(jnp.float32))
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return f
+        return build
+
+    sdpa_fused = chain_of(fused)
+    sdpa_unfused = chain_of(unfused_ref)
 
     t2 = interleaved({"fused": sdpa_fused, "unfused": sdpa_unfused},
                      {"fused": (q, k, v), "unfused": (q, k, v)},

@@ -115,6 +115,50 @@ def test_chained_vit_bitexact_vs_packed(calibrated_vit):
     np.testing.assert_array_equal(y_chained, y_packed)
 
 
+def test_chained_llama_bitexact_vs_packed(rng):
+    """Llama (int8, res-quantized outputs): chained prefill+decode logits ==
+    packed logits exactly — every dense emits/consumes Coded in between."""
+    from fp8_quantization_tpu.config import RunMethodConfig as RMC
+    from fp8_quantization_tpu.models.llama import (
+        KVCache, LlamaSpec, QuantizedLlama)
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2,
+                     num_heads=4, num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    qc = QuantConfig(
+        method=QMethod.symmetric_uniform,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        run_method=RMC(res_quantizer_flag=True),
+    )
+    model = QuantizedLlama(qc=qc, spec=spec)
+    toks = jnp.asarray(rng.integers(0, 64, size=(2, 10)), jnp.int32)
+    cache0 = KVCache.zeros(spec, 2, spec.max_seq_len)
+
+    variables = model.init(jax.random.key(0), toks, cache0, ESTIMATE)
+    _, ups = model.apply(variables, toks, cache0, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+    _, ups = model.apply(variables, toks, cache0, warm,
+                         mutable=["quant_cache"])
+    variables = {**variables, **ups}
+    variables, report = pack_dense_caches(variables, qc)
+    variables = strip_packed_params(variables)
+    assert len(report) > 0
+
+    lp, cp = model.apply(variables, toks, cache0, PACKED)
+    lc, cc = model.apply(variables, toks, cache0, CHAINED)
+    np.testing.assert_array_equal(np.asarray(lc), np.asarray(lp))
+    np.testing.assert_array_equal(np.asarray(cc.k), np.asarray(cp.k))
+    # decode one step from the prefix: still bit-identical
+    last = toks[:, -1:]
+    lp2, _ = model.apply(variables, last, cp, PACKED)
+    lc2, _ = model.apply(variables, last, cc, CHAINED)
+    np.testing.assert_array_equal(np.asarray(lc2), np.asarray(lp2))
+
+
 def test_chained_vit_under_jit(calibrated_vit):
     """The chained phase jits (static phase; Coded is a pytree) and matches
     the eager apply."""

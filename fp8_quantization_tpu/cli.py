@@ -198,6 +198,28 @@ def build_parser() -> argparse.ArgumentParser:
     common(vq)
     vd = sub.add_parser("validate-quantized-demo", help="image_net.py:205-224")
     common(vd)
+
+    # QAT fine-tuning — the entry point that consumes the --oscillations-*
+    # flags (the reference parses qat_options, click_options.py:184-214, but
+    # its main CLI never trains; this wires eval/trainer.py::train_qat)
+    tq = sub.add_parser(
+        "train-qat",
+        help="calibrate then QAT-finetune (qat_options, "
+             "click_options.py:184-214; consumes --oscillations-*)")
+    common(tq)
+    tq.add_argument("--learning-rate", type=float, default=1e-3)
+    tq.add_argument("--optimizer", type=str, default="SGD")
+    tq.add_argument("--momentum", type=float, default=0.9)
+    tq.add_argument("--weight-decay", type=float, default=None)
+    tq.add_argument("--learning-rate-schedule", type=str, default=None,
+                    help="e.g. 'multistep:30,60' or 'cosine'")
+    tq.add_argument("--max-epochs", type=int, default=1)
+    _add_bool_flag(tq, "sep-quant-optimizer", False)
+    tq.add_argument("--quant-optimizer", type=str, default="Adam")
+    tq.add_argument("--quant-learning-rate", type=float, default=1e-4)
+    _add_bool_flag(tq, "grad-scaling", False)
+    tq.add_argument("--steps-per-epoch", type=int, default=None)
+    tq.add_argument("--tb-logging-dir", type=str, default=None)
     return parser
 
 
@@ -473,11 +495,90 @@ def run_validate(args) -> dict:
     return metrics
 
 
+def run_train_qat(args) -> dict:
+    """Calibrate then QAT-finetune (the reference's unused trainer path,
+    utils/supervised_driver.py:11-60, done properly); consumes the
+    --oscillations-* flags via ``osc_configs_from_args``."""
+    import jax
+    import numpy as np
+
+    from .eval import data as data_mod
+    from .eval.driver import calibrate
+    from .eval.trainer import train_qat
+    from .quant.sites import QuantPhase
+    from .utils.misc import seed_all
+
+    if args.seed is not None:
+        seed_all(args.seed)
+
+    qc = config_from_args(args)
+    model, example = build_model(args.architecture, qc)
+    variables = model.init(jax.random.key(args.seed or 0), example,
+                           QuantPhase(phase="estimate"))
+    variables = load_weights(args.architecture, model, variables,
+                             args.model_dir)
+    image_size = example.shape[1] if example.ndim == 4 else None
+    spe = args.steps_per_epoch or 8
+
+    def train_batches():
+        if args.architecture == "demo_quantized":
+            rng = np.random.default_rng(args.seed or 0)
+            return [
+                (rng.normal(size=(args.batch_size, 10)).astype(np.float32),
+                 rng.integers(0, 10, size=(args.batch_size,)))
+                for _ in range(spe)
+            ]
+        if args.synthetic_data or not args.images_dir:
+            return data_mod.synthetic_batches(
+                args.batch_size, spe, image_size=image_size,
+                seed=args.seed or 10)
+        return data_mod.imagenet_train_batches(
+            args.images_dir, args.batch_size, image_size=image_size,
+            max_batches=args.steps_per_epoch, seed=args.seed or 10)
+
+    def eval_batches():
+        if args.architecture == "demo_quantized" or args.synthetic_data \
+                or not args.images_dir:
+            return train_batches()
+        return data_mod.imagenet_val_batches(
+            args.images_dir, args.batch_size, image_size=image_size,
+            max_batches=args.max_eval_batches)
+
+    variables = calibrate(model, variables, train_batches(),
+                          num_est_batches=args.num_est_batches,
+                          quant_w=args.weight_quant, quant_a=args.act_quant)
+    osc_damp, osc_freeze = osc_configs_from_args(args)
+    variables, history = train_qat(
+        model, variables, train_batches,
+        max_epochs=args.max_epochs,
+        eval_batches=eval_batches,
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        learning_rate_schedule=args.learning_rate_schedule,
+        sep_quant_optimizer=args.sep_quant_optimizer,
+        quant_optimizer=args.quant_optimizer,
+        quant_learning_rate=args.quant_learning_rate,
+        grad_scaling=args.grad_scaling,
+        reestimate_bn_stats=args.reestimate_bn_batches > 0,
+        save_checkpoint_dir=args.save_checkpoint_dir,
+        tb_logging_dir=args.tb_logging_dir,
+        steps_per_epoch=args.steps_per_epoch,
+        osc_damp=osc_damp,
+        osc_freeze=osc_freeze,
+    )
+    print(f"qat history: {history}")
+    return history[-1] if history else {}
+
+
 def main(argv=None):
     logging.basicConfig(level=os.environ.get("LOGLEVEL", "INFO"))
     args = build_parser().parse_args(argv)
     if args.command in ("validate-quantized", "validate-quantized-demo"):
         return run_validate(args)
+    if args.command == "train-qat":
+        return run_train_qat(args)
     raise SystemExit(f"unknown command {args.command}")
 
 

@@ -284,16 +284,22 @@ class QuantLlamaBlock(nn.Module):
             x = x + decoded(attn_out).astype(jnp.float32)
             return self._mlp(x, qp), k_cache, v_cache
 
-        from ..ops.pallas.attention import use_fused
+        from ..ops.pallas.attention import sdpa_fits_vmem, use_fused
 
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
         # serving prefill (t > 1, frozen ranges): fused causal SDPA Pallas
         # kernel — the (T, S) score tensor stays in VMEM instead of three+
-        # HBM round trips (ops/pallas/attention.py)
-        fused = t > 1 and qp.fast and not qp.estimating and use_fused()
+        # HBM round trips (ops/pallas/attention.py). ``qp.fused_sdpa`` pins
+        # the choice; otherwise auto (TPU backends), with a trace-time VMEM
+        # estimate falling back to the einsum path for slabs the kernel
+        # can't hold (ADVICE r2 #1 — no remote-compile VMEM overflow)
+        allow = qp.fused_sdpa if qp.fused_sdpa is not None else use_fused()
+        fused_base = t > 1 and qp.fast and not qp.estimating and allow
         if chunk_attention and t > 1:
             # empty-cache prefill: the chunk IS the cache prefix; the store/
             # load round-trip matches the cache readback bit-for-bit
+            fused = fused_base and sdpa_fits_vmem(
+                t, s.num_heads, s.num_kv_heads, hd, t)
             kf = load(store(k, kb), kb)                        # (B, T, K, D)
             vf = load(store(v, vb), vb)
             if fused:
@@ -308,7 +314,8 @@ class QuantLlamaBlock(nn.Module):
                 probs = jax.nn.softmax(scores, axis=-1)
                 ctx = jnp.einsum("btkgu,bukd->btkgd", probs, vf)
                 ctx = ctx.reshape(b, t, s.num_heads * hd)
-        elif fused:
+        elif fused_base and sdpa_fits_vmem(t, s.num_heads, s.num_kv_heads,
+                                           hd, s_max):
             # warm/resumed prefill over the cache slab: T new queries at
             # positions length[b]+i attend to keys [0, length[b]+i] — the
             # kernel's per-batch causal ``offsets`` (the key axis is the

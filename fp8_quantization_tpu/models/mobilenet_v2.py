@@ -26,7 +26,7 @@ import flax.linen as nn
 from ..config import QuantConfig
 from ..ops.activations import relu6
 from ..ops.layers import BNQuantConv, QuantDense
-from ..quant.sites import FIXED, QuantPhase, QuantSite
+from ..quant.sites import FIXED, QuantPhase, QuantSite, decoded
 
 # (expansion t, channels c, repeats n, stride s) — mobilenet_v2.py:74-83
 INVERTED_RESIDUAL_SETTING = (
@@ -186,4 +186,4 @@ class QuantizedMobileNetV2(nn.Module):
             n_bits_w=last_w, quantize_output=not fp_logits,
             name="classifier_1",
         )(x, qp)
-        return x
+        return decoded(x)  # chained: logits come back as codes

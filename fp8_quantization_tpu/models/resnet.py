@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import QuantConfig
 from ..ops.layers import BNQuantConv, QuantDense
-from ..quant.sites import FIXED, QuantPhase, QuantSite
+from ..quant.sites import FIXED, QuantPhase, QuantSite, decoded
 
 RESNET_SPECS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -185,4 +185,4 @@ class QuantizedResNet(nn.Module):
             qc=self.qc, features=self.num_classes, use_bias=True,
             n_bits_w=last_w, quantize_output=not fp_logits, name="fc",
         )(x, qp)
-        return x
+        return decoded(x)  # chained: logits come back as codes

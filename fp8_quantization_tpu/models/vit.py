@@ -90,9 +90,11 @@ class QuantViTSelfAttention(nn.Module):
 
         b, t, _ = x.shape
 
-        from ..ops.pallas.attention import use_fused
+        from ..ops.pallas.attention import sdpa_fits_vmem, use_fused
 
-        if qp.fast and not qp.estimating and use_fused():
+        allow = qp.fused_sdpa if qp.fused_sdpa is not None else use_fused()
+        if (qp.fast and not qp.estimating and allow
+                and sdpa_fits_vmem(t, s.num_heads, s.num_heads, head_dim, t)):
             # serving modes: fused Pallas SDPA — the (B, H, T, T) score
             # tensor never touches HBM (~60 MB x3 per block at batch 32 on
             # the einsum path). Token-major (B, T, H, D) operands: the head

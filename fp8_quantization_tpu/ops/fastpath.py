@@ -16,10 +16,12 @@ mant_width <= 7), per-tensor act/res quantizers reduced to
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import QMethod, QuantConfig
 from ..quant import quantizers
@@ -172,6 +174,88 @@ def unpack_int4(packed, k: int):
     return jnp.concatenate([lo, hi], axis=0)[:k].astype(jnp.int8)
 
 
+def _explicit_conv_pads(spatial_in, kernel_spatial, window_strides, padding,
+                        lhs_dilation, rhs_dilation):
+    """Resolve string padding to explicit (lo, hi) pairs on the (possibly
+    input-dilated) spatial dims, matching XLA conv semantics."""
+    if not isinstance(padding, str):
+        return [tuple(p) for p in padding]
+    ld = lhs_dilation or (1,) * len(spatial_in)
+    rd = rhs_dilation or (1,) * len(spatial_in)
+    dil_in = [(n - 1) * d + 1 if n > 0 else 0 for n, d in zip(spatial_in, ld)]
+    k_eff = [(k - 1) * d + 1 for k, d in zip(kernel_spatial, rd)]
+    return lax.padtype_to_pads(dil_in, k_eff, window_strides, padding)
+
+
+def quantized_conv_int8(x_codes, w_codes, sx, scale, cx, wsum, *,
+                        window_strides, padding, lhs_dilation, rhs_dilation,
+                        dimension_numbers, feature_group_count=1,
+                        zp=None, bias=None, out_dtype=jnp.float32):
+    """Native int8 convolution (VERDICT r2 next #3): code conv accumulates
+    exactly in int32 on the 2x-rate int8 MXU, then one f32 scale epilogue.
+
+    Activation values are ``sx * (c - cx)`` with integer ``cx`` (0 for
+    signed-symmetric sites; -128 for unsigned/asymmetric — e.g. every
+    ReLU-fed site that calibrated unsigned). Padding and input dilation are
+    materialized EXPLICITLY with fill code ``cx`` (one ``lax.pad``), so a
+    padded tap contributes exactly value 0 and the zero-point corrections
+    stay position-independent rank-1 terms:
+
+      out = sx*sw_n * [ dot - cx*Wsum_n - cw_n*Xsum(m) + K*cx*cw_n ]
+
+    ``zp`` is the per-out-channel weight zero point in [0,255] coords for
+    unsigned-calibrated channels (``cw = zp - 128``); its Xsum term is a
+    per-group window-sum of the padded codes (a ones-kernel int8 conv),
+    skipped statically for signed-symmetric weights.
+
+    x_codes: (B, *S, I) int8; w_codes: (*K, I/g, O) int8; scale: (O,) f32;
+    cx: () f32 integer-valued; wsum: (O,) int32 per-channel code sums.
+    """
+    n_spatial = len(w_codes.shape) - 2
+    spatial_in = x_codes.shape[1:1 + n_spatial]
+    kernel_spatial = w_codes.shape[:-2]
+    pads = _explicit_conv_pads(spatial_in, kernel_spatial, window_strides,
+                               padding, lhs_dilation, rhs_dilation)
+    ld = lhs_dilation or (1,) * n_spatial
+    cx_code = cx.astype(jnp.int8)  # integer by construction, in [-128, 127]
+    pad_cfg = ([(0, 0, 0)]
+               + [(lo, hi, d - 1) for (lo, hi), d in zip(pads, ld)]
+               + [(0, 0, 0)])
+    xp = lax.pad(x_codes, cx_code, pad_cfg)
+    acc = lax.conv_general_dilated(
+        xp, w_codes,
+        window_strides=window_strides,
+        padding=[(0, 0)] * n_spatial,
+        rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) - cx * wsum.astype(jnp.float32)
+    if zp is not None:  # static: symmetric-signed weights skip entirely
+        g = feature_group_count
+        in_per_g = w_codes.shape[-2]
+        ones = jnp.ones((*kernel_spatial, in_per_g, g), jnp.int8)
+        xsum = lax.conv_general_dilated(
+            xp, ones,
+            window_strides=window_strides, padding=[(0, 0)] * n_spatial,
+            rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers, feature_group_count=g,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                       # (B, *S_out, g)
+        # repeat each group's window-sum across its contiguous output
+        # channels (XLA grouped-conv channel ordering), times cw = zp - 128
+        o_per_g = w_codes.shape[-1] // g
+        cw = zp - 128.0
+        k_taps = math.prod(kernel_spatial) * in_per_g
+        out = out - jnp.repeat(xsum, o_per_g, axis=-1) * cw
+        out = out + (k_taps * cx) * cw
+    out = out * (sx * scale)
+    if bias is not None:
+        out = out + bias
+    return out.astype(out_dtype)
+
+
 def quantized_matmul_int8(x_codes, w: Int8Weights, sx, cx, *,
                           bias=None, out_dtype=jnp.float32,
                           w_has_zp: bool = False, acc=None):
@@ -264,7 +348,10 @@ def pack_dense_caches(variables, qc: QuantConfig,
         if (mbits is None or int(jnp.round(mbits[0])) != mant
                 or sbits is None or int(sbits[0]) != 1):
             return
-        pw = pack_weights(jnp.asarray(w_q, jnp.float32), w_bias, expo, mant)
+        # conv kernels (*K, I, O) pack in the flattened (prod(K)*I, O)
+        # layout; the conv apply reshapes the decoded weights back
+        w2 = jnp.asarray(w_q, jnp.float32).reshape(-1, w_q.shape[-1])
+        pw = pack_weights(w2, w_bias, expo, mant)
         node["w_codes"] = pw.codes
         node["w_pack_bias"] = pw.bias
         report["/".join(path)] = float(pw.exact_fraction)
@@ -276,7 +363,10 @@ def pack_dense_caches(variables, qc: QuantConfig,
         delta = state.get("delta")
         if delta is None:
             return
-        n = w_q.shape[1]
+        n = w_q.shape[-1]
+        # conv kernels (*K, I, O) quantize in the flattened (prod(K)*I, O)
+        # layout (per-channel params live on the last axis either way)
+        w2 = w_q.reshape(-1, n)
         scale = jnp.broadcast_to(
             _uniform_scale(wq_cfg, jnp.asarray(delta, jnp.float32)), (n,))
         if wq_cfg.method == QMethod.symmetric_uniform:
@@ -288,7 +378,7 @@ def pack_dense_caches(variables, qc: QuantConfig,
                 jnp.asarray(state["zero_float"], jnp.float32)), (n,))
             zp_q = jnp.clip(zp_q, 0.0, 2.0 ** n_bits - 1)
             shift = 8.0 if n_bits <= 4 else 128.0
-        x_int = jnp.round(w_q / scale[None, :]) + zp_q[None, :]
+        x_int = jnp.round(w2 / scale[None, :]) + zp_q[None, :]
         codes = (x_int - shift).astype(jnp.int8)
         # stored zp in shifted coords: c_w = zp - 128 (0 for signed
         # symmetric). Installed ONLY when some channel's c_w is nonzero —
@@ -303,7 +393,9 @@ def pack_dense_caches(variables, qc: QuantConfig,
                 node["w_i4_zp"] = zp_st
             node["w_i4_sum"] = jnp.sum(codes.astype(jnp.int32), axis=0)
         else:
-            node["w_i8"] = codes
+            # conv layers keep kernel-shaped codes (the int8 conv consumes
+            # them directly); dense layers keep the (K, N) layout
+            node["w_i8"] = codes.reshape(w_q.shape)
             node["w_i8_scale"] = scale
             if bool(jnp.any(zp_st != 128.0)):
                 node["w_i8_zp"] = zp_st
@@ -311,12 +403,21 @@ def pack_dense_caches(variables, qc: QuantConfig,
         # exactness: int codes reproduce the cached fake-quantized weights
         rt = scale[None, :] * (codes.astype(jnp.float32) + shift - zp_q)
         report["/".join(path)] = float(jnp.mean(
-            jnp.all(rt == w_q, axis=0).astype(jnp.float32)))
+            jnp.all(rt == w2, axis=0).astype(jnp.float32)))
 
     def visit(node, qnode, path):
         w_q = node.get("w_q")
-        if w_q is None or w_q.ndim != 2:
+        if w_q is None or w_q.ndim < 2:
             return
+        if w_q.ndim > 2 and not is_fp:
+            # conv int8 codes are only consumed when the act site is a
+            # per-tensor uniform quantizer over quantized inputs; otherwise
+            # the layer falls back to the simulation and would need its
+            # (stripped) kernel
+            acfg = qc.act_quantizer()
+            if (acfg.method == QMethod.fp_quantizer or acfg.per_channel
+                    or not qc.quantize_input):
+                return
         state = (qnode.get("weight_quantizer", {}) or {}).get("q", {})
         # per-layer n_bits recorded at cache time (quant_setup variants
         # override n_bits_w per layer); fall back to the global config

@@ -64,6 +64,25 @@ def use_fused() -> bool:
     return FORCE_FUSED or jax.default_backend() in ("tpu", "axon")
 
 
+def sdpa_fits_vmem(t: int, n_heads: int, kv_heads: int, head_dim: int,
+                   sk: int, bq: int = 512, limit_mb: int = 100) -> bool:
+    """Trace-time estimate of the kernel's VMEM footprint (ADVICE r2 #1).
+
+    The kernel holds per grid step: the whole (Sk, HK, D) K/V slabs (bf16,
+    double-buffered across grid steps), one (bq, H, D) q block + (bq, H, D)
+    f32 out block, and per unrolled head a (bq, Sk) f32 score tile (live
+    ranges overlap across ~3 tiles: scores, p, mask). Callers fall back to
+    the einsum path when this exceeds the kernel's ``vmem_limit_bytes`` —
+    otherwise a long ``max_seq_len`` or big-head config hits the remote
+    Pallas compiler's VMEM-overflow failure (HTTP 500) with no fallback.
+    """
+    bq = min(t, bq)
+    kv_slabs = 2 * 2 * sk * kv_heads * head_dim * 2      # k+v, double-buf
+    q_o = bq * n_heads * head_dim * (2 + 4 + 4)          # q bf16, ctx+out f32
+    scores = 3 * bq * sk * 4                             # scores/p/mask f32
+    return (kv_slabs + q_o + scores) * 1.25 <= limit_mb * 1024 * 1024
+
+
 def _kernel(rmax_ref, rbias_ref, rmant_ref, rsign_ref, off_ref,
             q_ref, k_ref, v_ref, o_ref,
             *, n_heads: int, kv_heads: int, s_valid: int, bq: int,

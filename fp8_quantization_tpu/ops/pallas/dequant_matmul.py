@@ -216,8 +216,10 @@ def unpack_weights(pw: PackedWeights, dtype=jnp.float32):
 def _kernel(
     amax_ref, abias_ref, amant_ref, asign_ref,
     rmax_ref, rbias_ref, rmant_ref, rsign_ref,
+    xeb_ref, xss_ref,
     x_ref, w_ref, web_ref, wss_ref, o_ref, acc_ref,
     *, expo_width: int, mant_width: int,
+    x_expo: int, x_mant: int, x_coded: bool,
     quantize_x: bool, requantize_out: bool, n_k: int,
 ):
     kk = pl.program_id(2)
@@ -227,7 +229,14 @@ def _kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:]
-    if quantize_x:
+    if x_coded:
+        # chained FP8 serving: the activation tile arrives as 1-byte ExMy
+        # codes and decodes in VMEM (same bits-assembly decode as the
+        # weights; per-tensor constants ride in SMEM) — x never materializes
+        # in HBM wider than a byte (VERDICT r2 next #4)
+        x = unpack_exmy_bits(x, x_expo, x_mant, xeb_ref[0, 0], xss_ref[0, 0],
+                             dtype=jnp.bfloat16)
+    elif quantize_x:
         x = quantize_block(
             x, amax_ref[0, 0], abias_ref[0, 0], amant_ref[0, 0], asign_ref[0, 0]
         )
@@ -253,9 +262,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expo_width", "mant_width", "quantize_x",
-                     "requantize_out", "out_dtype", "bm", "bn", "bk",
-                     "vmem_limit_mb"),
+    static_argnames=("expo_width", "mant_width", "x_expo", "x_mant",
+                     "quantize_x", "requantize_out", "out_dtype", "bm", "bn",
+                     "bk", "vmem_limit_mb"),
 )
 def dequant_matmul(
     x,
@@ -266,6 +275,9 @@ def dequant_matmul(
     mant_width: int,
     act_params: Optional[Tuple] = None,
     res_params: Optional[Tuple] = None,
+    x_bias=None,
+    x_expo: Optional[int] = None,
+    x_mant: Optional[int] = None,
     quantize_x: bool = False,
     requantize_out: bool = False,
     out_dtype=jnp.float32,
@@ -277,10 +289,14 @@ def dequant_matmul(
     """``requant(quantize(x) @ decode(w_codes))`` as one fused TPU kernel.
 
     Args:
-      x: (M, K) activations — bf16 already-quantized (serving steady state)
-        or f32 with ``quantize_x`` + ``act_params``.
+      x: (M, K) activations — bf16 already-quantized (serving steady state),
+        f32 with ``quantize_x`` + ``act_params``, or uint8 ExMy codes with
+        ``x_bias``/``x_expo``/``x_mant`` (chained FP8 serving: the code tile
+        decodes in VMEM, so x stays 1 B/element end to end).
       w_codes: (K, N) uint8 packed ExMy codes (``PackedWeights.codes``).
       w_bias: (N,) int32 per-channel packing bias.
+      x_bias: () int32 per-tensor packing bias of the coded x
+        (``CodedFP.bias``); its presence selects the coded-x path.
       act_params/res_params: (maxval, bias, mant, sign) scalars as in
         ``fused_quant_matmul``.
 
@@ -290,6 +306,10 @@ def dequant_matmul(
     k2, n = w_codes.shape
     assert k == k2, (x.shape, w_codes.shape)
     assert w_codes.dtype == jnp.uint8, w_codes.dtype
+    x_coded = x_bias is not None
+    if x_coded:
+        assert x.dtype == jnp.uint8 and not quantize_x
+        assert x_expo is not None and x_mant is not None
 
     def scalars(params):
         if params is None:
@@ -306,6 +326,12 @@ def dequant_matmul(
 
     amax, abias, amant, asign = scalars(act_params)
     rmax, rbias, rmant, rsign = scalars(res_params)
+    if x_coded:
+        xeb, xss = unpack_consts(
+            jnp.asarray(x_bias, jnp.int32).reshape(1, 1), x_mant)
+    else:
+        xeb = jnp.zeros((1, 1), jnp.int32)
+        xss = jnp.zeros((1, 1), jnp.float32)
 
     bm = min(bm, _round_up(m, 128))
     bn = min(bn, _round_up(n, 128))
@@ -331,12 +357,14 @@ def dequant_matmul(
     out = pl.pallas_call(
         functools.partial(
             _kernel, expo_width=expo_width, mant_width=mant_width,
+            x_expo=x_expo or 0, x_mant=x_mant or 0, x_coded=x_coded,
             quantize_x=quantize_x, requantize_out=requantize_out, n_k=n_k,
         ),
         grid=(mp // bm, np_ // bn, n_k),
         in_specs=[
             smem(), smem(), smem(), smem(),
             smem(), smem(), smem(), smem(),
+            smem(), smem(),
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
@@ -361,6 +389,6 @@ def dequant_matmul(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         interpret=interpret,
-    )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xp, wp, webp,
-      wssp)
+    )(amax, abias, amant, asign, rmax, rbias, rmant, rsign, xeb, xss, xp, wp,
+      webp, wssp)
     return out[:m, :n]

@@ -231,6 +231,10 @@ def make_qat_step(
 
     @jax.jit
     def step(state, x, y):
+        if len(state) == 5:
+            # pre-oscillation 5-tuple API: append the default osc carry so
+            # externally persisted / hand-built states keep working
+            state = QATState(*state, {"step": jnp.int32(0)})
         (model_params, quant_train, rest, m_opt_state, q_opt_state,
          osc_state) = state
         osc_step = osc_state.get("step", jnp.int32(0))

@@ -21,6 +21,7 @@ import dataclasses
 from typing import NamedTuple
 
 import flax.linen as nn
+import flax.struct
 import jax.numpy as jnp
 from jax import lax
 
@@ -44,23 +45,73 @@ class Coded(NamedTuple):
     scale: jnp.ndarray   # f32 scalar
     cx: jnp.ndarray      # f32 scalar: effective zero point in code coords
 
+    def reshape(self, *shape):
+        """Shape ops act on the codes (per-tensor scale/cx unaffected)."""
+        return self._replace(codes=self.codes.reshape(*shape))
 
-def decoded(x):
-    """Materialize a ``Coded`` back to f32 values; identity for arrays.
+
+class CodedFP(flax.struct.PyTreeNode):
+    """Activations as 1-byte ExMy codes on a frozen per-tensor FP grid.
+
+    The FP8 chained serving currency (VERDICT r2 next #4) — the FP analog of
+    :class:`Coded`: ``value = unpack_exmy_bits(codes, bias)``. Packing uses
+    the site's safe packing bias (``fp_pack_bias``): bit-exact with the
+    fake-quantized values when the STE grid fits the byte field, else the
+    channel re-quantizes onto the ``bias - 1`` grid moving only
+    bottom-binade subnormals by <= half their ULP — the exact contract of
+    ``pack_weights`` / the packed KV cache.
+    """
+
+    codes: jnp.ndarray   # uint8 ExMy codes (s:1|e:E|m:M)
+    bias: jnp.ndarray    # () int32 packing bias
+    expo_width: int = flax.struct.field(pytree_node=False)
+    mant_width: int = flax.struct.field(pytree_node=False)
+
+    def reshape(self, *shape):
+        """Shape ops act on the codes (per-tensor bias unaffected)."""
+        return self.replace(codes=self.codes.reshape(*shape))
+
+
+def decoded(x, dtype=jnp.float32):
+    """Materialize a ``Coded``/``CodedFP`` back to values; identity for
+    arrays.
 
     XLA fuses this into the consuming elementwise op / matmul prologue, so
-    the f32 form never round-trips HBM — the read stays 1 B/element.
+    the float form never round-trips HBM — the read stays 1 B/element.
     """
     if isinstance(x, Coded):
         return x.scale * (x.codes.astype(jnp.float32) - x.cx)
+    if isinstance(x, CodedFP):
+        from ..numerics.codec import unpack_consts, unpack_exmy_bits
+
+        eb, ss = unpack_consts(x.bias, x.mant_width)
+        return unpack_exmy_bits(x.codes, x.expo_width, x.mant_width, eb, ss,
+                                dtype=dtype)
     return x
 
 
+def coded_shape(x):
+    """Shape of a maybe-Coded value without decoding it."""
+    return x.codes.shape if isinstance(x, (Coded, CodedFP)) else x.shape
+
+
 def codes_eligible(qcfg: "QuantizerConfig", qp: "QuantPhase") -> bool:
-    """Whether a site may emit :class:`Coded` under this phase: chained
-    serving with a frozen per-tensor uniform grid (``as_codes`` guards)."""
-    return (qp.chained and not qp.estimating and not qcfg.per_channel
-            and qcfg.method != QMethod.fp_quantizer)
+    """Whether a site may emit :class:`Coded`/:class:`CodedFP` under this
+    phase: chained serving with a frozen per-tensor grid (``as_codes``
+    guards). FP sites additionally need a static byte-sized format
+    (``mse_include_mantissa_bits``/``learn_mantissa_bits`` could elect a
+    different mantissa width than the static config — the codes would decode
+    with the wrong field split)."""
+    if not (qp.chained and not qp.estimating and not qcfg.per_channel):
+        return False
+    if qcfg.method != QMethod.fp_quantizer:
+        return True
+    f = qcfg.fp8
+    mant = int(f.mantissa_bits)
+    expo = qcfg.n_bits - 1 - mant
+    return (not f.allow_unsigned and not f.learn_mantissa_bits
+            and not f.mse_include_mantissa_bits
+            and expo >= 1 and 1 + expo + mant <= 8)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +157,12 @@ class QuantPhase:
     # Value-identical to the unchained packed path (see ``Coded``). Models
     # must be chained-aware (their elementwise code calls ``decoded``).
     chained: bool = False
+    # fused Pallas SDPA (ops/pallas/attention.py) in serving fast modes:
+    # None = auto (real-TPU backends, VMEM permitting), False = pin the
+    # bit-stable einsum path, True = force (CPU runs it interpreted). An
+    # explicit phase knob so serving runs can pin behavior without touching
+    # the module-global bench hooks (ADVICE r2 #3).
+    fused_sdpa: "bool | None" = None
 
     @property
     def estimating(self) -> bool:
@@ -141,13 +198,13 @@ class QuantSite(nn.Module):
         with the normal return. Per-tensor uniform quantizers, fixed phase
         only.
         """
-        if isinstance(x, Coded):
+        if isinstance(x, (Coded, CodedFP)):
             x = decoded(x)  # fused dequant: reads 1 B/element
-        if as_codes:
-            if (qp.estimating or self.qcfg.per_channel
-                    or self.qcfg.method == QMethod.fp_quantizer):
+        fp_codes = as_codes and self.qcfg.method == QMethod.fp_quantizer
+        if as_codes and not fp_codes:
+            if qp.estimating or self.qcfg.per_channel:
                 raise ValueError(
-                    "as_codes needs a frozen per-tensor uniform site")
+                    "as_codes needs a frozen per-tensor site")
             from ..ops.fastpath import quantize_acts_int8
 
             if x.dtype != jnp.float32:
@@ -155,6 +212,10 @@ class QuantSite(nn.Module):
             s, zp, lo, hi = self.uniform_int_params()
             codes, cx = quantize_acts_int8(x, s[0], zp[0], lo[0], hi[0])
             return Coded(codes, s[0], cx)
+        if fp_codes and not codes_eligible(self.qcfg, qp):
+            raise ValueError(
+                "as_codes on an FP site needs a frozen per-tensor "
+                "byte-sized static format (see codes_eligible)")
         # quantizer math always runs in f32; a bf16 input from an upstream
         # fast-mode site holds grid-exact values, so the upcast is lossless
         if x.dtype != jnp.float32:
@@ -186,6 +247,19 @@ class QuantSite(nn.Module):
 
         if self.qcfg.method == QMethod.fp_quantizer:
             y, bias = quantizers.fp_apply(self.qcfg, q, x, self.channel_axis)
+            if fp_codes:
+                # chained FP8 serving: emit the STE-grid values as 1-byte
+                # ExMy codes on the safe packing bias — the layer's output
+                # write IS the next layer's 1 B/element input
+                from ..numerics.codec import pack_exmy
+
+                mant = int(self.qcfg.fp8.mantissa_bits)
+                expo = self.qcfg.n_bits - 1 - mant
+                pb = self.fp_pack_bias()[0]
+                codes = pack_exmy(y.astype(jnp.float32), expo, mant, pb,
+                                  clip_of=True)
+                return CodedFP(codes=codes, bias=pb, expo_width=expo,
+                               mant_width=mant)
             if qp.fast and not qp.estimating and self.qcfg.n_bits <= 8:
                 # every ExMy value with mant_width <= 7 is exact in bf16
                 y = y.astype(jnp.bfloat16)

@@ -1,24 +1,16 @@
 #!/usr/bin/env python
-"""ViT-B/16 quantized end-to-end inference throughput on TPU.
+"""CNN (MobileNetV2 / ResNet) quantized E2E inference throughput on TPU.
 
-Measures imgs/sec of the flagship quantized model, all modes INTERLEAVED in
-one process with auto-deepened slope chains (scripts/_harness.py), emitting
-a JSON artifact to bench_artifacts/:
+The reference's flagship models are CNNs; round 3 gave convolutions the same
+real-storage serving paths as dense layers (VERDICT r2 next #3). Modes are
+timed INTERLEAVED with auto-deepened slope chains (scripts/_harness.py):
 
-  FP8 family (fp_quantizer, E3M4, res-quantizer on — the canonical
-  image_net.sh flag set):
-    fp32         quantization off (plain f32 model)
-    fixed        FP8 PTQ simulation, f32 matmuls (reference-faithful)
-    cached       + frozen-weight cache
-    fast         + bf16 MXU fast mode (grid-exact)
-    fast_nofused fast with the fused Pallas SDPA disabled (A/B)
+  FP8 family:  fp32 / fixed (reference-faithful sim) / cached / fast (bf16)
+               / packed (1-byte ExMy conv+dense weight codes)
+  INT8 family: int8 (native int8 MXU convs+matmuls) / chained (+ int8 codes
+               between dense layers)
 
-  INT8 family (symmetric_uniform, res-quantizer on so dense epilogues can
-  chain):
-    int8         native int8 MXU matmuls, f32 fake-quant between layers
-    chained      + activation sites emit int8 codes between layers
-
-Run: python scripts/bench_vit.py [--batch-size 32] [--modes fast,int8,...]
+Run: python scripts/bench_cnn.py [--arch mobilenet_v2|resnet18|resnet50]
 """
 
 import argparse
@@ -34,31 +26,40 @@ from jax import lax
 
 from _harness import emit_artifact, interleaved_slopes, ratio
 
-FP8_MODES = ("fp32", "fixed", "cached", "fast", "fast_nofused")
+FP8_MODES = ("fp32", "fixed", "cached", "fast", "packed")
 INT8_MODES = ("int8", "chained")
+
+
+def build_model(arch, qc):
+    if arch == "mobilenet_v2":
+        from fp8_quantization_tpu.models.mobilenet_v2 import (
+            QuantizedMobileNetV2)
+        return QuantizedMobileNetV2(qc=qc)
+    if arch.startswith("resnet"):
+        from fp8_quantization_tpu.models.resnet import QuantizedResNet
+        return QuantizedResNet(qc=qc, depth=int(arch[6:]))
+    raise SystemExit(f"unknown arch {arch}")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--arch", type=str, default="mobilenet_v2",
+                   choices=["mobilenet_v2", "resnet18", "resnet50"])
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--trials", type=int, default=5)
-    p.add_argument("--modes", type=str, default="",
-                   help="comma-separated subset (default: all)")
-    p.add_argument("--artifact", type=str, default="vit_modes")
+    p.add_argument("--modes", type=str, default="")
+    p.add_argument("--artifact", type=str, default=None)
     args = p.parse_args(argv)
     want = set(args.modes.split(",")) if args.modes else set(
         FP8_MODES + INT8_MODES)
 
     from fp8_quantization_tpu.config import (
-        EstimatorConfig,
-        FP8Config,
-        QMethod,
-        QuantConfig,
-        RangeMethod,
+        EstimatorConfig, FP8Config, QMethod, QuantConfig, RangeMethod,
         RunMethodConfig,
     )
     from fp8_quantization_tpu.eval import cache_quantized_weights
-    from fp8_quantization_tpu.models.vit import QuantizedViT
+    from fp8_quantization_tpu.ops.fastpath import (
+        pack_dense_caches, strip_packed_params)
     from fp8_quantization_tpu.quant import ESTIMATE, QuantPhase
 
     rng = np.random.default_rng(10)
@@ -66,15 +67,13 @@ def main(argv=None):
     x = jnp.asarray(rng.normal(size=(b, 224, 224, 3)).astype(np.float32))
 
     def setup(qc):
-        model = QuantizedViT(qc=qc)
+        model = build_model(args.arch, qc)
         variables = model.init(jax.random.key(0), x[:1], ESTIMATE)
         _, ups = model.apply(variables, x[:2], ESTIMATE,
                              mutable=["quant", "quant_est"])
-        variables = {**variables, **ups}
-        return model, variables
+        return model, {**variables, **ups}
 
-    modes = {}  # name -> (model, vars, phase, fused_flag)
-
+    modes = {}
     if want & set(FP8_MODES):
         qc8 = QuantConfig(
             method=QMethod.fp_quantizer,
@@ -90,6 +89,9 @@ def main(argv=None):
         model8, vars8 = setup(qc8)
         cached_vars = cache_quantized_weights(model8, vars8, x[:2])
         fast_vars = cache_quantized_weights(model8, vars8, x[:2], fast=True)
+        pk_vars, rep = pack_dense_caches(fast_vars, qc8)
+        pk_vars = strip_packed_params(pk_vars)
+        print(f"fp8-packed {len(rep)} layers", flush=True)
         modes["fp32"] = (model8, vars8,
                          QuantPhase(phase="fixed", quant_w=False,
                                     quant_a=False))
@@ -97,9 +99,8 @@ def main(argv=None):
         modes["cached"] = (model8, cached_vars, QuantPhase(phase="fixed"))
         modes["fast"] = (model8, fast_vars,
                          QuantPhase(phase="fixed", fast=True))
-        modes["fast_nofused"] = (model8, fast_vars,
-                                 QuantPhase(phase="fixed", fast=True,
-                                            fused_sdpa=False))
+        modes["packed"] = (model8, pk_vars,
+                           QuantPhase(phase="fixed", fast=True, packed=True))
 
     if want & set(INT8_MODES):
         qci = QuantConfig(
@@ -108,21 +109,14 @@ def main(argv=None):
             quantize_input=True,
             weight_range=EstimatorConfig(RangeMethod.current_minmax),
             act_range=EstimatorConfig(RangeMethod.allminmax),
-            # res-quantizer ON: dense epilogues requantize onto frozen
-            # per-tensor grids — in chained mode those ARE the int8 codes
-            # the next layer consumes (without it the epilogue emits f32 and
-            # only the _ActSite sites chain)
             run_method=RunMethodConfig(res_quantizer_flag=True),
         )
         print("init + calibrate (int8)...", flush=True)
         modeli, varsi = setup(qci)
         cached_i = cache_quantized_weights(modeli, varsi, x[:2])
-        from fp8_quantization_tpu.ops.fastpath import (
-            pack_dense_caches, strip_packed_params)
-
         i8_vars, report = pack_dense_caches(cached_i, qci)
         i8_vars = strip_packed_params(i8_vars)
-        print(f"int8-packed {len(report)} dense layers", flush=True)
+        print(f"int8-packed {len(report)} layers", flush=True)
         modes["int8"] = (modeli, i8_vars,
                          QuantPhase(phase="fixed", fast=True, packed=True))
         modes["chained"] = (modeli, i8_vars,
@@ -137,7 +131,6 @@ def main(argv=None):
             def f(variables, x):
                 def body(_, acc):
                     logits = model.apply(variables, acc, qp)
-                    # full data dependency without changing values materially
                     return acc + 1e-30 * jnp.mean(logits)
                 return lax.fori_loop(0, n, body, x).sum()
             return f
@@ -145,16 +138,11 @@ def main(argv=None):
 
     builders = {name: builder(*spec) for name, spec in modes.items()}
     args_for = {name: (modes[name][1], x) for name in modes}
-
     results = interleaved_slopes(builders, args_for, depths=(2, 6),
-                                 trials=args.trials, max_n1=64)
+                                 trials=args.trials, max_n1=96)
 
-    payload = {
-        "metric": "vit_e2e",
-        "batch_size": b,
-        "unit": "ms/batch",
-        "modes": {},
-    }
+    payload = {"metric": f"{args.arch}_e2e", "batch_size": b,
+               "unit": "ms/batch", "modes": {}}
     for name, r in results.items():
         per = r["per_iter"]
         payload["modes"][name] = {
@@ -163,16 +151,14 @@ def main(argv=None):
             "floor_ok": r["floor_ok"],
             "depths": r["depths"],
         }
-        print(f"{name:12s}: "
-              f"{(per * 1e3 if per else float('nan')):8.2f} ms/batch",
-              flush=True)
-
+        print(f"{name:8s}: {(per * 1e3 if per else float('nan')):8.2f} "
+              f"ms/batch", flush=True)
     for num, den, label in [
         ("fp32", "fast", "fast_vs_fp32"),
+        ("fast", "packed", "packed_vs_fast"),
         ("fast", "int8", "int8_vs_fast"),
         ("fast", "chained", "chained_vs_fast"),
         ("int8", "chained", "chained_vs_int8"),
-        ("fast_nofused", "fast", "sdpa_fused_speedup"),
         ("fixed", "fast", "fast_vs_fixed"),
     ]:
         med, spread = ratio(results, num, den)
@@ -180,10 +166,10 @@ def main(argv=None):
             payload[label] = round(med, 4)
             payload[label + "_spread"] = [round(spread[0], 4),
                                           round(spread[1], 4)]
-            print(f"{label}: {med:.3f}x  (spread {spread[0]:.3f}-"
+            print(f"{label}: {med:.3f}x (spread {spread[0]:.3f}-"
                   f"{spread[1]:.3f})", flush=True)
 
-    emit_artifact(args.artifact, payload)
+    emit_artifact(args.artifact or f"cnn_{args.arch}", payload)
 
 
 if __name__ == "__main__":

@@ -1,32 +1,37 @@
 """Serving benchmark: quantized-Llama prefill and decode throughput on TPU.
 
-Measures the FP8-quantized decoder (bf16 fast mode, frozen-weight cache,
-FP8 KV cache) on the real chip:
+All requested serving modes run in ONE process and are timed INTERLEAVED
+with auto-deepened slope chains (scripts/_harness.py), emitting a JSON
+artifact — same-trial pairing cancels the tunnel's +-30% drift, which made
+the r2 sequential per-config runs incomparable (VERDICT r2 weak #1/#8).
 
-* prefill: B=1, T tokens in one forward (tok/s);
-* decode: B slots, one token per step over a fixed S-slot dense cache
-  (tok/s = B * steps / time).
+Modes (--modes, comma-separated):
+  fast       FP8 weights+acts+KV, bf16 fast mode, frozen-weight cache
+  packed     + 1-byte packed ExMy weight codes (fused dequant matmul)
+  packedkv   fast + uint8 packed-code KV cache (half the KV footprint)
+  int8       symmetric-uniform int8: native int8 MXU matmuls
+  chained    int8 + chained codes (dense epilogues emit int8 codes)
+  int4       4-bit uniform weights, nibble-packed + fused unpack kernel
+  nofused    fast with the fused SDPA prefill kernel disabled (A/B)
 
-Timing uses fori_loop chains ending in a scalar readback with the slope
-between two depths (per-dispatch timings are unreliable over the tunneled
-device — see bench.py). Prefill iterations vary the tokens with the loop
-index so XLA cannot hoist the loop-invariant forward.
+Each mode measures prefill (B=1, T tokens, tok/s) and decode (B slots, one
+token/step over a half-full S-slot dense cache).
 
-Run: python scripts/bench_llama.py [--layers 8 --hidden 2048 ...]
+Run: python scripts/bench_llama.py [--modes fast,int8,chained] [--layers 8]
 """
 
 import argparse
-import json
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from _harness import emit_artifact, interleaved_slopes, ratio
 from fp8_quantization_tpu.config import (
     EstimatorConfig, FP8Config, QMethod, QuantConfig, RangeMethod,
     RunMethodConfig,
@@ -35,28 +40,35 @@ from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
 from fp8_quantization_tpu.quant import ESTIMATE
 from fp8_quantization_tpu.quant.sites import QuantPhase
 
-REPEATS = 5
+ALL_MODES = ("fast", "packed", "packedkv", "int8", "chained", "int4",
+             "nofused")
 
 
-def slope(f, *args, depths=(2, 6)):
-    """Per-iteration time from the slope between two fori_loop depths.
+def fp8_qc():
+    return QuantConfig(
+        method=QMethod.fp_quantizer,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+    )
 
-    The chain must be deep enough that the differential compute dominates
-    the ~29 ms per-call tunnel overhead and its variance — shallow (2, 6)
-    decode chains measured NEGATIVE slopes on 8-layer models (pure noise).
-    Decode uses (8, 64); prefill (2, 8)."""
-    ts = {}
-    for n in depths:
-        g = jax.jit(lambda *a, n=n: f(n, *a))
-        float(g(*args))
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            float(g(*args))
-            best = min(best, time.perf_counter() - t0)
-        ts[n] = best
-    n0, n1 = depths
-    return (ts[n1] - ts[n0]) / (n1 - n0)
+
+def uniform_qc(n_bits):
+    return QuantConfig(
+        method=QMethod.symmetric_uniform,
+        n_bits=n_bits,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        # res-quantizer ON: dense epilogues requantize onto frozen per-tensor
+        # grids — in chained mode those ARE the inter-layer int8 codes
+        run_method=RunMethodConfig(res_quantizer_flag=True),
+    )
 
 
 def main():
@@ -70,31 +82,16 @@ def main():
     ap.add_argument("--prefill-t", type=int, default=1024)
     ap.add_argument("--decode-batch", type=int, default=8)
     ap.add_argument("--decode-s", type=int, default=1024)
-    ap.add_argument("--packed", action="store_true",
-                    help="1-byte packed weight storage + fused dequant "
-                         "matmul (ops/pallas/dequant_matmul.py)")
-    ap.add_argument("--packed-kv", action="store_true",
-                    help="uint8 packed-code KV cache (half the footprint)")
-    ap.add_argument("--quant", choices=["fp8", "int8", "int4"],
-                    default="fp8",
-                    help="weight/act quantizer family (int8/int4 use the "
-                         "uniform quantizers; with --packed they run the "
-                         "native int8 MXU / fused int4 kernel)")
-    ap.add_argument("--no-fused", action="store_true",
-                    help="disable the fused Pallas SDPA prefill branch (A/B)")
-    ap.add_argument("--chained", action="store_true",
-                    help="chained int8 serving: dense layers pass int8 codes "
-                         "(+scale) between each other (needs --quant int8 "
-                         "--packed; enables the res quantizer so layer "
-                         "outputs live on a frozen per-tensor grid)")
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--modes", type=str, default="fast,packed,int8,chained")
+    ap.add_argument("--skip-prefill", action="store_true")
+    ap.add_argument("--skip-decode", action="store_true")
+    ap.add_argument("--artifact", type=str, default="llama_serving")
     args = ap.parse_args()
-
-    if args.chained and (args.quant != "int8" or not args.packed):
-        raise SystemExit("--chained needs --quant int8 --packed")
-
-    if args.no_fused:
-        from fp8_quantization_tpu.ops.pallas import attention
-        attention.DISABLE_FUSED = True
+    want = [m for m in args.modes.split(",") if m]
+    for m in want:
+        if m not in ALL_MODES:
+            raise SystemExit(f"unknown mode {m!r} (choose from {ALL_MODES})")
 
     spec = LlamaSpec(
         vocab_size=args.vocab, hidden_size=args.hidden,
@@ -102,132 +99,190 @@ def main():
         num_kv_heads=args.kv_heads, mlp_dim=args.mlp,
         max_seq_len=max(args.prefill_t, args.decode_s) + 64,
     )
-    if args.quant == "fp8":
-        qc = QuantConfig(
-            method=QMethod.fp_quantizer,
-            per_channel_weights=True,
-            quantize_input=True,
-            weight_range=EstimatorConfig(RangeMethod.current_minmax),
-            act_range=EstimatorConfig(RangeMethod.allminmax),
-            fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
-            run_method=RunMethodConfig(res_quantizer_flag=True,
-                                       original_quantize_res=True),
-        )
-    else:
-        if args.packed_kv:
-            raise SystemExit("--packed-kv needs the FP quantizer (--quant fp8)")
-        qc = QuantConfig(
-            method=QMethod.symmetric_uniform,
-            n_bits=8 if args.quant == "int8" else 4,
-            per_channel_weights=True,
-            quantize_input=True,
-            weight_range=EstimatorConfig(RangeMethod.current_minmax),
-            act_range=EstimatorConfig(RangeMethod.allminmax),
-            # chained: layer outputs requantize onto frozen per-tensor grids
-            # (the codes ARE the inter-layer currency)
-            run_method=RunMethodConfig(res_quantizer_flag=args.chained),
-        )
-    model = QuantizedLlama(qc=qc, spec=spec, packed_kv=args.packed_kv)
-    kv_dtype = jnp.uint8 if args.packed_kv else jnp.bfloat16
-
     rng = np.random.default_rng(10)
     calib = jnp.asarray(rng.integers(0, spec.vocab_size, size=(2, 16)),
                         jnp.int32)
-    cache0 = KVCache.zeros(spec, 2, 64, dtype=kv_dtype)
-    print("init...", file=sys.stderr, flush=True)
-    variables = model.init(jax.random.key(0), calib, cache0, ESTIMATE)
-    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
-    print(f"params: {n_params/1e6:.0f}M", file=sys.stderr, flush=True)
 
-    print("calibrate...", file=sys.stderr, flush=True)
-    _, ups = model.apply(variables, calib, cache0, ESTIMATE,
-                         mutable=["quant", "quant_est"])
-    variables = {**variables, **ups}
+    def calibrate(model, kv_dtype=jnp.bfloat16):
+        cache0 = KVCache.zeros(spec, 2, 64, dtype=kv_dtype)
+        variables = model.init(jax.random.key(0), calib, cache0, ESTIMATE)
+        _, ups = model.apply(variables, calib, cache0, ESTIMATE,
+                             mutable=["quant", "quant_est"])
+        variables = {**variables, **ups}
+        warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+        _, ups = model.apply(variables, calib, cache0, warm,
+                             mutable=["quant_cache"])
+        return {**variables, **ups}
 
-    # freeze the quantized weights once (fast serving mode)
-    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
-    fast = QuantPhase(phase="fixed", fast=True)
-    print("freeze weights...", file=sys.stderr, flush=True)
-    _, ups = model.apply(variables, calib, cache0, warm,
-                         mutable=["quant_cache"])
-    variables = {**variables, **ups}
-
-    if args.packed:
-        # real-8-bit weight storage: 1-byte codes + fused dequant matmul
+    def packed_of(variables, qc):
         from fp8_quantization_tpu.ops.fastpath import (
             pack_dense_caches, strip_packed_params)
+        v, report = pack_dense_caches(variables, qc)
+        v = strip_packed_params(v)
+        print(f"  packed {len(report)} dense layers", file=sys.stderr,
+              flush=True)
+        return v
 
-        variables, report = pack_dense_caches(variables, qc)
-        variables = strip_packed_params(variables)
-        fast = QuantPhase(phase="fixed", fast=True, packed=True,
-                          chained=args.chained)
-        exact = sum(report.values()) / max(len(report), 1)
-        w_bytes = sum(
-            x.size * x.dtype.itemsize
-            for x in jax.tree.leaves(variables)
-        )
-        print(f"packed {len(report)} dense layers "
-              f"(mean exact channel fraction {exact:.3f}); resident "
-              f"variables {w_bytes/1e6:.0f} MB", file=sys.stderr, flush=True)
+    # mode -> dict(model, vars, phase, kv_dtype, disable_fused)
+    setups = {}
+    n_params = None
 
-    # --- prefill ---
+    if {"fast", "packed", "packedkv", "nofused"} & set(want):
+        qc = fp8_qc()
+        model = QuantizedLlama(qc=qc, spec=spec)
+        print("calibrate fp8...", file=sys.stderr, flush=True)
+        vars8 = calibrate(model)
+        n_params = sum(x.size for x in jax.tree.leaves(vars8["params"]))
+        fastp = QuantPhase(phase="fixed", fast=True)
+        if "fast" in want:
+            setups["fast"] = dict(model=model, vars=vars8, phase=fastp,
+                                  kv=jnp.bfloat16)
+        if "nofused" in want:
+            setups["nofused"] = dict(
+                model=model, vars=vars8,
+                phase=QuantPhase(phase="fixed", fast=True, fused_sdpa=False),
+                kv=jnp.bfloat16)
+        if "packed" in want:
+            setups["packed"] = dict(
+                model=model, vars=packed_of(vars8, qc),
+                phase=QuantPhase(phase="fixed", fast=True, packed=True),
+                kv=jnp.bfloat16)
+        if "packedkv" in want:
+            mkv = QuantizedLlama(qc=qc, spec=spec, packed_kv=True)
+            setups["packedkv"] = dict(model=mkv, vars=vars8, phase=fastp,
+                                      kv=jnp.uint8)
+
+    if {"int8", "chained"} & set(want):
+        qc = uniform_qc(8)
+        model = QuantizedLlama(qc=qc, spec=spec)
+        print("calibrate int8...", file=sys.stderr, flush=True)
+        vi = packed_of(calibrate(model), qc)
+        if n_params is None:
+            n_params = sum(
+                x.size for x in jax.tree.leaves(vi.get("params", {})))
+        if "int8" in want:
+            setups["int8"] = dict(
+                model=model, vars=vi,
+                phase=QuantPhase(phase="fixed", fast=True, packed=True),
+                kv=jnp.bfloat16)
+        if "chained" in want:
+            setups["chained"] = dict(
+                model=model, vars=vi,
+                phase=QuantPhase(phase="fixed", fast=True, packed=True,
+                                 chained=True),
+                kv=jnp.bfloat16)
+
+    if "int4" in want:
+        qc = uniform_qc(4)
+        model = QuantizedLlama(qc=qc, spec=spec)
+        print("calibrate int4...", file=sys.stderr, flush=True)
+        v4 = packed_of(calibrate(model), qc)
+        setups["int4"] = dict(
+            model=model, vars=v4,
+            phase=QuantPhase(phase="fixed", fast=True, packed=True),
+            kv=jnp.bfloat16)
+
+    # --- builders ---
     t_len = args.prefill_t
     base = jnp.asarray(rng.integers(0, spec.vocab_size, size=(1, t_len)),
                        jnp.int32)
-
-    def prefill_chain(n, variables, base):
-        def body(i, acc):
-            # fresh cache per iteration (inside the body, so the buffer is
-            # dead after the forward and the KV writes stay in place)
-            cache = KVCache.zeros(spec, 1, t_len, dtype=kv_dtype)
-            toks = (base + i) % spec.vocab_size
-            logits, _ = model.apply(variables, toks, cache, fast)
-            return acc + logits[0, -1].sum()
-
-        return lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    print("prefill bench (first compile is slow)...", file=sys.stderr,
-          flush=True)
-    t_pre = slope(prefill_chain, variables, base, depths=(2, 8))
-    pre_tps = t_len / t_pre
-
-    # --- decode ---
     b, s_len = args.decode_batch, args.decode_s
-    cache = KVCache.zeros(spec, b, s_len, dtype=kv_dtype)
-    cache = KVCache(k=cache.k, v=cache.v,
-                    length=jnp.full((b,), s_len // 2, jnp.int32))
     tok0 = jnp.asarray(rng.integers(0, spec.vocab_size, size=(b, 1)),
                        jnp.int32)
 
-    def decode_chain(n, variables, tok0, cache):
-        def body(i, carry):
-            toks, cache, acc = carry
-            logits, cache = model.apply(variables, toks, cache, fast)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1)[:, None].astype(
-                jnp.int32)
-            return (nxt, cache, acc + logits[:, -1].sum())
+    def prefill_builder(su):
+        model, phase, kv_dtype = su["model"], su["phase"], su["kv"]
 
-        _, _, acc = lax.fori_loop(0, n, body, (tok0, cache, jnp.float32(0.0)))
-        return acc
+        def build(n):
+            @jax.jit
+            def f(variables, base):
+                def body(i, acc):
+                    cache = KVCache.zeros(spec, 1, t_len, dtype=kv_dtype)
+                    toks = (base + i) % spec.vocab_size
+                    logits, _ = model.apply(variables, toks, cache, phase)
+                    return acc + logits[0, -1].sum()
+                return lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return f
+        return build
 
-    print("decode bench...", file=sys.stderr, flush=True)
-    t_dec = slope(decode_chain, variables, tok0, cache, depths=(8, 64))
-    dec_tps = b / t_dec
+    def decode_builder(su):
+        model, phase, kv_dtype = su["model"], su["phase"], su["kv"]
+        cache = KVCache.zeros(spec, b, s_len, dtype=kv_dtype)
+        cache = KVCache(k=cache.k, v=cache.v,
+                        length=jnp.full((b,), s_len // 2, jnp.int32))
 
-    print(json.dumps({
+        def build(n):
+            @jax.jit
+            def f(variables, tok0, cache):
+                def body(i, carry):
+                    toks, cache, acc = carry
+                    logits, cache = model.apply(variables, toks, cache, phase)
+                    nxt = jnp.argmax(logits[:, -1, :], axis=-1)[:, None]
+                    return (nxt.astype(jnp.int32), cache,
+                            acc + logits[:, -1].sum())
+                _, _, acc = lax.fori_loop(0, n, body,
+                                          (tok0, cache, jnp.float32(0.0)))
+                return acc
+            return f
+        return build, cache
+
+    builders, args_for, kinds = {}, {}, {}
+    for name in want:
+        su = setups[name]
+        if not args.skip_prefill:
+            builders[f"{name}.prefill"] = prefill_builder(su)
+            args_for[f"{name}.prefill"] = (su["vars"], base)
+            kinds[f"{name}.prefill"] = ("prefill", name)
+        if not args.skip_decode:
+            dec, cache = decode_builder(su)
+            builders[f"{name}.decode"] = dec
+            args_for[f"{name}.decode"] = (su["vars"], tok0, cache)
+            kinds[f"{name}.decode"] = ("decode", name)
+
+    print("measuring (first compiles are slow)...", file=sys.stderr,
+          flush=True)
+    results = interleaved_slopes(builders, args_for, depths=(2, 8),
+                                 trials=args.trials, max_n1=256)
+
+    payload = {
         "metric": "llama_serving",
-        "params_m": round(n_params / 1e6, 1),
-        "prefill_tok_s": round(pre_tps, 1),
-        "prefill_ms": round(t_pre * 1e3, 2),
-        "decode_tok_s": round(dec_tps, 1),
-        "decode_step_ms": round(t_dec * 1e3, 3),
+        "params_m": round((n_params or 0) / 1e6, 1),
+        "prefill_t": t_len,
         "decode_batch": b,
         "decode_context": s_len,
-        "packed_weights": bool(args.packed),
-        "packed_kv": bool(args.packed_kv),
-        "quant": args.quant,
-        "chained": args.chained,
-    }))
+        "modes": {},
+    }
+    for cell, r in results.items():
+        kind, name = kinds[cell]
+        per = r["per_iter"]
+        entry = payload["modes"].setdefault(name, {})
+        if kind == "prefill":
+            entry["prefill_ms"] = round(per * 1e3, 2) if per else None
+            entry["prefill_tok_s"] = round(t_len / per, 1) if per else None
+        else:
+            entry["decode_step_ms"] = round(per * 1e3, 3) if per else None
+            entry["decode_tok_s"] = round(b / per, 1) if per else None
+        entry[f"{kind}_floor_ok"] = r["floor_ok"]
+        entry[f"{kind}_depths"] = r["depths"]
+        print(f"{cell:18s}: "
+              f"{(per * 1e3 if per else float('nan')):8.3f} ms/iter",
+              flush=True)
+
+    for kind in ("prefill", "decode"):
+        for a, bm in [("fast", "packed"), ("fast", "packedkv"),
+                      ("fast", "int8"), ("fast", "chained"),
+                      ("int8", "chained"), ("fast", "int4"),
+                      ("nofused", "fast")]:
+            med, spread = ratio(results, f"{a}.{kind}", f"{bm}.{kind}")
+            if med is not None:
+                key = f"{bm}_vs_{a}_{kind}"
+                payload[key] = round(med, 4)
+                payload[key + "_spread"] = [round(spread[0], 4),
+                                            round(spread[1], 4)]
+                print(f"{key}: {med:.3f}x (spread {spread[0]:.3f}-"
+                      f"{spread[1]:.3f})", flush=True)
+
+    emit_artifact(args.artifact, payload)
 
 
 if __name__ == "__main__":

@@ -171,3 +171,130 @@ def test_chained_vit_under_jit(calibrated_vit):
     np.testing.assert_array_equal(
         np.asarray(f(variables, x)),
         np.asarray(model.apply(variables, x, CHAINED)))
+
+
+def test_chained_vit_res_epilogue_bitexact_vs_packed():
+    """With ``res_quantizer_flag=True`` (the bench/serving config) the dense
+    int8 epilogues ALSO emit codes — chained logits must still match the
+    unchained packed path bit-for-bit."""
+    spec = ViTSpec(hidden_size=48, num_layers=2, num_heads=4, mlp_dim=96,
+                   patch_size=16, image_size=64, num_classes=11)
+    qc = QuantConfig(
+        method=QMethod.symmetric_uniform,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        run_method=RunMethodConfig(res_quantizer_flag=True),
+    )
+    model = QuantizedViT(qc=qc, spec=spec)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = model.apply(variables, x, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    from fp8_quantization_tpu.eval import cache_quantized_weights
+
+    variables = cache_quantized_weights(model, variables, x, fast=True)
+    variables, report = pack_dense_caches(variables, qc)
+    variables = strip_packed_params(variables)
+    assert len(report) > 0
+
+    y_packed = np.asarray(model.apply(variables, x, PACKED))
+    y_chained = np.asarray(model.apply(variables, x, CHAINED))
+    np.testing.assert_array_equal(y_chained, y_packed)
+
+
+# ---------------------------------------------------------------------------
+# Chained FP8 currency (CodedFP — VERDICT r2 next #4)
+# ---------------------------------------------------------------------------
+
+def _fp8_qc():
+    from fp8_quantization_tpu.config import FP8Config
+
+    return QuantConfig(
+        method=QMethod.fp_quantizer,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True),
+    )
+
+
+def test_codedfp_site_decode_bitexact(rng):
+    """decoded(site(x, as_codes=True)) == site(x) bit-for-bit when the STE
+    grid fits the byte field (the site's safe packing bias is unadjusted)."""
+    from fp8_quantization_tpu.quant.sites import CodedFP
+
+    qc = _fp8_qc()
+    site = QuantSite(qc.act_quantizer(), qc.act_range,
+                     name="activation_quantizer")
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 3
+    variables = site.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = site.apply(variables, x, ESTIMATE, mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    fake = site.apply(variables, x, QuantPhase(phase="fixed"))
+    coded = site.apply(variables, x, CHAINED, as_codes=True)
+    assert isinstance(coded, CodedFP)
+    assert coded.codes.dtype == jnp.uint8
+    from fp8_quantization_tpu.quant.quantizers import fp_bias
+
+    ste_bias = int(fp_bias(qc.act_quantizer(), variables["quant"]["q"])[0])
+    if int(coded.bias) == ste_bias:  # grid fits: bit-exact contract
+        np.testing.assert_array_equal(np.asarray(decoded(coded)),
+                                      np.asarray(fake))
+    else:  # bias-1 repack: only bottom-binade subnormals may move
+        np.testing.assert_allclose(np.asarray(decoded(coded)),
+                                   np.asarray(fake), rtol=0, atol=1e-2)
+
+
+def test_codedfp_requires_static_format():
+    from fp8_quantization_tpu.config import FP8Config
+
+    qc = QuantConfig(method=QMethod.fp_quantizer, quantize_input=True,
+                     fp8=FP8Config(mse_include_mantissa_bits=True))
+    site = QuantSite(qc.act_quantizer(), qc.act_range)
+    x = jnp.ones((4, 4))
+    variables = site.init(jax.random.key(0), x, ESTIMATE)
+    with pytest.raises(ValueError, match="as_codes"):
+        site.apply(variables, x, CHAINED, as_codes=True)
+
+
+def test_chained_fp8_vit_matches_packed():
+    """FP8 ViT end-to-end: chained (CodedFP between layers + coded-x Pallas
+    dequant matmul) logits match the unchained packed path."""
+    spec = ViTSpec(hidden_size=48, num_layers=2, num_heads=4, mlp_dim=96,
+                   patch_size=16, image_size=64, num_classes=11)
+    qc = _fp8_qc()
+    model = QuantizedViT(qc=qc, spec=spec)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = model.apply(variables, x, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    variables = {**variables, **ups}
+
+    from fp8_quantization_tpu.eval import cache_quantized_weights
+
+    variables = cache_quantized_weights(model, variables, x, fast=True)
+    variables, report = pack_dense_caches(variables, qc)
+    variables = strip_packed_params(variables)
+    assert len(report) > 0
+
+    y_packed = np.asarray(model.apply(variables, x, PACKED))
+    y_chained = np.asarray(model.apply(variables, x, CHAINED))
+    # NOT bit-exact by design: ~1/4 of this model's act-site STE grids need
+    # 2^E + 1 binades (rounded-bias overflow) — genuinely unstorable in one
+    # byte — so their codes repack on the bias-1 grid, moving bottom-binade
+    # subnormals (the SAME contract as packed weights / packed KV). Those
+    # half-subnormal-ULP input moves can cross downstream rounding
+    # boundaries, so logits may differ by ~1 mantissa ULP; predictions and
+    # closeness must hold.
+    np.testing.assert_allclose(y_chained, y_packed, rtol=0.15, atol=0.1)
+    np.testing.assert_array_equal(y_chained.argmax(-1), y_packed.argmax(-1))

@@ -250,8 +250,24 @@ class QuantLlamaBlock(nn.Module):
             k_cache, v_cache = lax.fori_loop(
                 0, b, write_slot, (k_cache, v_cache), unroll=True)
             s_max = k_cache.shape[2]
-            kf = load(k_cache[layer_idx], kb)
-            vf = load(v_cache[layer_idx], vb)
+            from ..ops.pallas.attention import use_fused as _uf
+            from ..ops.pallas.decode_attention import (
+                decode_attention_fits_vmem)
+
+            allow_k = (qp.fused_sdpa if qp.fused_sdpa is not None
+                       else _uf())
+            # decode (t == 1): the fused decode-attention kernel streams the
+            # RAW slab once (uint8 codes decode in VMEM — no XLA whole-slab
+            # decode materializing 4 B/element in HBM)
+            use_dec = (t == 1 and qp.fast and not qp.estimating and allow_k
+                       and decode_attention_fits_vmem(
+                           s_max, s.num_kv_heads, hd,
+                           k_cache.dtype.itemsize))
+            if use_dec:
+                kf = vf = None  # the kernel reads the raw slabs below
+            else:
+                kf = load(k_cache[layer_idx], kb)
+                vf = load(v_cache[layer_idx], vb)
         else:
             # paged: scatter the chunk into physical pages, gather the slot's
             # logical view back for attention. Unallocated table entries point
@@ -266,6 +282,7 @@ class QuantLlamaBlock(nn.Module):
                 b, s_max, s.num_kv_heads, hd), kb)
             vf = load(v_cache[layer_idx][page_table].reshape(
                 b, s_max, s.num_kv_heads, hd), vb)
+            use_dec = False
 
         if self.ring_spec is not None and t > 1:
             # ring prefill: exact sequence-parallel self-attention over the
@@ -321,6 +338,15 @@ class QuantLlamaBlock(nn.Module):
             # kernel's per-batch causal ``offsets`` (the key axis is the
             # whole slab; the causal cap masks the garbage tail)
             ctx = self._fused_ctx(qg, kf, vf, offsets=length)
+        elif use_dec:
+            from ..ops.pallas.decode_attention import decode_attention
+
+            dec_kw = (dict(k_bias=kb, v_bias=vb, kv_expo=kv_expo,
+                           kv_mant=kv_mant) if self.packed_kv else {})
+            ctx = decode_attention(
+                q[:, 0], k_cache[layer_idx], v_cache[layer_idx],
+                length + 1, **dec_kw)
+            ctx = ctx.reshape(b, 1, s.num_heads * hd)
         else:
             # attention over the (logical) cache prefix [0, length + t)
             # (B, T, H, D) x (B, S, H_kv, D) with GQA head grouping

@@ -90,9 +90,14 @@ class QuantViTSelfAttention(nn.Module):
 
         b, t, _ = x.shape
 
-        from ..ops.pallas.attention import sdpa_fits_vmem, use_fused
+        from ..ops.pallas.attention import sdpa_fits_vmem
 
-        allow = qp.fused_sdpa if qp.fused_sdpa is not None else use_fused()
+        # measured r3 (bench_artifacts/vit_modes.json): the fused SDPA
+        # kernel LOSES ~20% end-to-end at ViT-B/16 batch-32 on the v5e
+        # (sdpa_fused_speedup 0.794, interleaved) — XLA's fused einsum
+        # chain wins at S=197 where scores fit small tiles. Default OFF for
+        # ViT; ``qp.fused_sdpa=True`` still forces the kernel.
+        allow = qp.fused_sdpa if qp.fused_sdpa is not None else False
         if (qp.fast and not qp.estimating and allow
                 and sdpa_fits_vmem(t, s.num_heads, s.num_heads, head_dim, t)):
             # serving modes: fused Pallas SDPA — the (B, H, T, T) score

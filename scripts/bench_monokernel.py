@@ -112,7 +112,15 @@ def main():
             @jax.jit
             def f(q, k, v):
                 def body(_, acc):
-                    o = fn(q + acc.astype(jnp.bfloat16) * 0, k, v)
+                    # REAL loop-carried dependency: scale q by (1 + eps(acc))
+                    # — `q + acc*0` folds to a loop-INVARIANT operand and XLA
+                    # hoists the whole unfused einsum chain out of the loop
+                    # (r3 measured a phantom 0.067 ms/iter slope, caught by
+                    # the harness floor check). The perturbation is below
+                    # bf16 resolution, so values are unchanged.
+                    qi = (q.astype(jnp.float32)
+                          * (1.0 + acc * 1e-30)).astype(jnp.bfloat16)
+                    o = fn(qi, k, v)
                     # depend on EVERY output element — a single-element
                     # dependency lets XLA narrow the whole einsum chain to
                     # one row (measured 12x phantom speedup), while the

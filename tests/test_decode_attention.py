@@ -102,3 +102,54 @@ def test_vmem_estimate():
     assert decode_attention_fits_vmem(8192, 8, 128, 2)
     assert not decode_attention_fits_vmem(8192, 64, 256, 2, bs=8192,
                                           limit_mb=10)
+
+
+def test_llama_decode_kernel_matches_einsum(rng):
+    """Llama decode with the kernel (fused_sdpa=True) == einsum decode
+    (fused_sdpa=False), bf16 and packed-uint8 KV."""
+    import jax
+
+    from fp8_quantization_tpu.config import (
+        EstimatorConfig, FP8Config, QMethod, QuantConfig, RangeMethod,
+        RunMethodConfig)
+    from fp8_quantization_tpu.models.llama import (
+        KVCache, LlamaSpec, QuantizedLlama)
+    from fp8_quantization_tpu.quant import ESTIMATE
+    from fp8_quantization_tpu.quant.sites import QuantPhase
+
+    qc = QuantConfig(
+        method=QMethod.fp_quantizer, per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        fp8=FP8Config(set_maxval=True, mse_include_mantissa_bits=False),
+        run_method=RunMethodConfig(res_quantizer_flag=True,
+                                   original_quantize_res=True))
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2,
+                     num_heads=4, num_kv_heads=2, mlp_dim=64, max_seq_len=32)
+    for packed_kv, dtype in [(False, jnp.bfloat16), (True, jnp.uint8)]:
+        model = QuantizedLlama(qc=qc, spec=spec, packed_kv=packed_kv)
+        toks = jnp.asarray(rng.integers(0, 64, size=(2, 8)), jnp.int32)
+        cache0 = KVCache.zeros(spec, 2, 32, dtype=dtype)
+        variables = model.init(jax.random.key(0), toks, cache0, ESTIMATE)
+        _, ups = model.apply(variables, toks, cache0, ESTIMATE,
+                             mutable=["quant", "quant_est"])
+        variables = {**variables, **ups}
+
+        # prefill with the einsum path, then one decode step both ways
+        pre = QuantPhase(phase="fixed", fast=True, fused_sdpa=False)
+        _, cache = model.apply(variables, toks, cache0, pre)
+        tok = jnp.asarray(rng.integers(0, 64, size=(2, 1)), jnp.int32)
+        l_ein, _ = model.apply(variables, tok, cache, pre)
+        l_ker, _ = model.apply(
+            variables, tok, cache,
+            QuantPhase(phase="fixed", fast=True, fused_sdpa=True))
+        # same contract as the fused prefill kernel (test_llama.py): the
+        # kernel's bf16 q/probs rounding crosses FP8 act-grid boundaries
+        # downstream -> distribution-level agreement + identical greedy
+        # tokens, not elementwise tolerance
+        a = np.asarray(l_ker, np.float32)
+        bb = np.asarray(l_ein, np.float32)
+        rel = np.sqrt(((a - bb) ** 2).mean()) / bb.std()
+        assert rel < 0.1, (packed_kv, rel)
+        np.testing.assert_array_equal(a.argmax(-1), bb.argmax(-1))

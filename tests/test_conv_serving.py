@@ -9,8 +9,8 @@ paths. These tests pin the conv equivalents:
   (``fastpath.quantized_conv_int8``) — matches the simulated fast path.
 * packed-FP8 conv: 1-byte ExMy kernel codes decoded by XLA bit-ops — matches
   the fast path bit-for-bit on exactly-packable channels.
-* asymmetric act configs fall back to the simulation (padding in code coords
-  would be wrong), keeping their kernels through ``strip_packed_params``.
+* unsigned/asymmetric act codes (cx != 0 — every ReLU-fed site) stay exact:
+  padding and input dilation fill with the cx code via ``lax.pad``.
 * MobileNetV2 / ResNet18 end-to-end: PACKED == FAST logits.
 """
 
@@ -228,3 +228,33 @@ def test_resnet18_int8_e2e(rng):
     y_fast = np.asarray(model.apply(variables, x, FAST))
     y_pack = np.asarray(model.apply(packed, x, PACKED))
     np.testing.assert_allclose(y_pack, y_fast, rtol=5e-4, atol=5e-4)
+
+
+def test_transpose_conv_unsigned_acts_int8(rng):
+    """Transposed conv with an UNSIGNED act site (cx = -128): the interior
+    input-dilation zeros AND edge padding must fill with the cx code (via
+    lax.pad's interior padding) or every inserted tap decodes to
+    -128*scale instead of 0."""
+    import flax.linen as fnn
+
+    qc = _int8_qc()
+
+    class ReluThenTranspose(fnn.Module):
+        qc: QuantConfig
+
+        @fnn.compact
+        def __call__(self, x, qp):
+            y = BNQuantConv(qc=self.qc, features=6, kernel_size=(3, 3),
+                            use_bias=False, activation=fnn.relu,
+                            name="conv")(x, qp)
+            return QuantConvTranspose(qc=self.qc, features=4,
+                                      kernel_size=(3, 3), strides=(2, 2),
+                                      name="up")(y, qp)
+
+    model = ReluThenTranspose(qc=qc)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    variables, packed, report = _prepare(model, x, qc)
+    assert len(report) == 2
+    y_fast = np.asarray(model.apply(variables, x, FAST))
+    y_pack = np.asarray(model.apply(packed, x, PACKED))
+    np.testing.assert_allclose(y_pack, y_fast, rtol=2e-5, atol=2e-5)

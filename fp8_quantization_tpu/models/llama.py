@@ -250,15 +250,17 @@ class QuantLlamaBlock(nn.Module):
             k_cache, v_cache = lax.fori_loop(
                 0, b, write_slot, (k_cache, v_cache), unroll=True)
             s_max = k_cache.shape[2]
-            from ..ops.pallas.attention import use_fused as _uf
             from ..ops.pallas.decode_attention import (
                 decode_attention_fits_vmem)
 
-            allow_k = (qp.fused_sdpa if qp.fused_sdpa is not None
-                       else _uf())
-            # decode (t == 1): the fused decode-attention kernel streams the
-            # RAW slab once (uint8 codes decode in VMEM — no XLA whole-slab
-            # decode materializing 4 B/element in HBM)
+            # measured r3 (bench_artifacts/llama_decode_kernel.json): the
+            # decode-attention kernel runs 0.394x the XLA einsum decode at
+            # B=8/ctx 4096 on the v5e — the (G, bs) per-head dots
+            # underutilize the MXU while XLA fuses the whole slab matvec at
+            # full HBM bandwidth. Default OFF; ``qp.fused_sdpa=True``
+            # forces the kernel (it still wins the VMEM-decode story only
+            # when something upstream prevents the XLA fusion).
+            allow_k = qp.fused_sdpa is True
             use_dec = (t == 1 and qp.fast and not qp.estimating and allow_k
                        and decode_attention_fits_vmem(
                            s_max, s.num_kv_heads, hd,

@@ -50,8 +50,7 @@ def main():
     builders["bf16"] = bf16_chain
     args_for["bf16"] = (x16, w16)
 
-    for bm, bn, bk2 in itertools.product((8, 32), (4096, 8192, 14336),
-                                         (256, 512)):
+    for bm, bn, bk2 in [(8, 8192, 256), (32, 8192, 256), (32, 14336, 512)]:
         name = f"i4_bm{bm}_bn{bn}_bk{bk2}"
 
         def build(n, bm=bm, bn=bn, bk2=bk2):

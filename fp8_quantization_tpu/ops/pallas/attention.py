@@ -1,23 +1,24 @@
 """Fused scaled-dot-product attention Pallas TPU kernel (+ requant epilogue).
 
-The retarget of the hand-kernel effort at shapes XLA genuinely cannot fuse
-(VERDICT r1 next #2): a softmax between two matmuls forces XLA to
-materialize the (B, H, S, S) score tensor in HBM THREE+ times (scores write,
-softmax read/write, PV read). This kernel computes QK^T -> mask -> softmax
--> PV for one (batch, q-block) per grid step entirely in VMEM: at
-encoder/serving lengths (S <= ~4k) a head's K/V tile fits VMEM, so no
-online-softmax streaming is needed — one pass, zero HBM traffic for scores.
+One pass QK^T -> mask -> softmax -> PV per (batch, q-block) grid step,
+whole key axis in VMEM (no online-softmax streaming at S <= ~4k).
+
+**Measured status (round 3, bench_artifacts/)**: at ViT-B/16 batch-32
+shape the kernel is ~8x SLOWER than XLA's fused einsum chain
+(0.529 vs 0.066 ms interleaved, ``monokernel.json``; the r2 claim that the
+kernel won in isolation came from a benchmark whose einsum side XLA had
+narrowed — caught by the harness floor check) and loses ~20% END-TO-END on
+ViT (``vit_modes.json`` sdpa_fused_speedup 0.794). XLA tiles the (T, T)
+score tensor through its own fusions just fine at these lengths. The
+models therefore default to the einsum path; ``QuantPhase(fused_sdpa=
+True)`` forces this kernel (Llama slab prefill keeps it available where
+the score tensor is genuinely large).
 
 **Token-major layout.** Operands are (B, T, H, D) — exactly how the models'
 dense projections produce them — NOT the (B, H, T, D) head-major layout of
-library attention kernels. Measured on the v5e: the kernel body beats the
-XLA einsum chain in isolation (0.119 vs 0.158 ms at ViT-B/16 batch-32
-shape), but a head-major wrapper LOSES end-to-end because every transpose /
-pad / GQA-repeat around a ``pallas_call`` must materialize in HBM, while
-XLA fuses the same relayouts into its einsums for free. Token-major kills
-all of them: the head split is a free reshape view, GQA is a static head
-index inside the kernel (no ``jnp.repeat``), and blocks cover the full
-(H, D) trailing dims so unaligned S/D need no padding.
+library attention kernels: the head split is a free reshape view, GQA is a
+static head index inside the kernel (no ``jnp.repeat``), and blocks cover
+the full (H, D) trailing dims so unaligned S/D need no padding.
 
 Epilogue: the context can be requantized onto an activation site's FP8 grid
 in the same kernel (``res_params``) — the hijacker protocol's

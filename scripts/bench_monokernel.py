@@ -133,7 +133,7 @@ def main():
     t2 = interleaved_slopes(
         {"fused": chain_of(fused), "unfused": chain_of(unfused_ref)},
         {"fused": (q, k, v), "unfused": (q, k, v)},
-        depths=(8, 40), trials=TRIALS, max_n1=512)
+        depths=(8, 40), trials=TRIALS, max_n1=2048)
     med2, spread2 = ratio(t2, "unfused", "fused")
     out.update({
         "sdpa_fused_ms": (round(t2["fused"]["per_iter"] * 1e3, 3)

@@ -303,16 +303,17 @@ class QuantLlamaBlock(nn.Module):
             x = x + decoded(attn_out).astype(jnp.float32)
             return self._mlp(x, qp), k_cache, v_cache
 
-        from ..ops.pallas.attention import sdpa_fits_vmem, use_fused
+        from ..ops.pallas.attention import sdpa_fits_vmem
 
         qg = q.reshape(b, t, s.num_kv_heads, groups, hd)
-        # serving prefill (t > 1, frozen ranges): fused causal SDPA Pallas
-        # kernel — the (T, S) score tensor stays in VMEM instead of three+
-        # HBM round trips (ops/pallas/attention.py). ``qp.fused_sdpa`` pins
-        # the choice; otherwise auto (TPU backends), with a trace-time VMEM
-        # estimate falling back to the einsum path for slabs the kernel
-        # can't hold (ADVICE r2 #1 — no remote-compile VMEM overflow)
-        allow = qp.fused_sdpa if qp.fused_sdpa is not None else use_fused()
+        # measured r3 (bench_artifacts/llama_prefill_sdpa.json): the fused
+        # SDPA kernel runs 0.872x the XLA einsum prefill at T=1024 on the
+        # v5e (einsum 8.83 ms = 116k tok/s vs kernel 10.05 ms) — like ViT
+        # and decode, XLA's own fusion of the attention chain wins. Default
+        # OFF everywhere; ``qp.fused_sdpa=True`` forces the kernel, with a
+        # trace-time VMEM estimate falling back to the einsum path for
+        # slabs the kernel can't hold (ADVICE r2 #1)
+        allow = qp.fused_sdpa is True
         fused_base = t > 1 and qp.fast and not qp.estimating and allow
         if chunk_attention and t > 1:
             # empty-cache prefill: the chunk IS the cache prefix; the store/

@@ -30,11 +30,14 @@ FP8_MODES = ("fp32", "fixed", "cached", "fast", "packed")
 INT8_MODES = ("int8", "chained")
 
 
-def build_model(arch, qc):
+def build_model(arch, qc, input_size=224):
     if arch == "mobilenet_v2":
         from fp8_quantization_tpu.models.mobilenet_v2 import (
             QuantizedMobileNetV2)
-        return QuantizedMobileNetV2(qc=qc)
+        # the avg-pool window derives from input_size; the calibration twin
+        # is built at the calib size (quant variables are per-tensor/
+        # per-channel — structurally identical trees)
+        return QuantizedMobileNetV2(qc=qc, input_size=input_size)
     if arch.startswith("resnet"):
         from fp8_quantization_tpu.models.resnet import QuantizedResNet
         return QuantizedResNet(qc=qc, depth=int(arch[6:]))
@@ -46,6 +49,14 @@ def main(argv=None):
     p.add_argument("--arch", type=str, default="mobilenet_v2",
                    choices=["mobilenet_v2", "resnet18", "resnet50"])
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--calib-size", type=int, default=None,
+                   help="spatial size for the CALIBRATION passes only "
+                        "(e.g. 96). The estimate-phase graph's remote "
+                        "compile grows with input size (MobileNetV2 at 224 "
+                        "exceeded 35 min on the tunnel, r3); quant states "
+                        "are per-tensor/per-channel scalars independent of "
+                        "spatial dims, so small-input calibration is valid "
+                        "for throughput benches. Timed cells stay at 224.")
     p.add_argument("--trials", type=int, default=5)
     p.add_argument("--modes", type=str, default="")
     p.add_argument("--artifact", type=str, default=None)
@@ -65,13 +76,18 @@ def main(argv=None):
     rng = np.random.default_rng(10)
     b = args.batch_size
     x = jnp.asarray(rng.normal(size=(b, 224, 224, 3)).astype(np.float32))
+    cs = args.calib_size or 224
+    xc = (x[:2] if cs == 224 else jnp.asarray(
+        rng.normal(size=(2, cs, cs, 3)).astype(np.float32)))
 
     def setup(qc):
-        model = build_model(args.arch, qc)
-        variables = model.init(jax.random.key(0), x[:1], ESTIMATE)
-        _, ups = model.apply(variables, x[:2], ESTIMATE,
-                             mutable=["quant", "quant_est"])
-        return model, {**variables, **ups}
+        calib_model = build_model(args.arch, qc, input_size=cs)
+        model = (calib_model if cs == 224
+                 else build_model(args.arch, qc, input_size=224))
+        variables = calib_model.init(jax.random.key(0), xc[:1], ESTIMATE)
+        _, ups = calib_model.apply(variables, xc, ESTIMATE,
+                                   mutable=["quant", "quant_est"])
+        return model, calib_model, {**variables, **ups}
 
     modes = {}
     if want & set(FP8_MODES):
@@ -86,9 +102,9 @@ def main(argv=None):
                                        original_quantize_res=True),
         )
         print("init + calibrate (fp8)...", flush=True)
-        model8, vars8 = setup(qc8)
-        cached_vars = cache_quantized_weights(model8, vars8, x[:2])
-        fast_vars = cache_quantized_weights(model8, vars8, x[:2], fast=True)
+        model8, calib8, vars8 = setup(qc8)
+        cached_vars = cache_quantized_weights(calib8, vars8, xc)
+        fast_vars = cache_quantized_weights(calib8, vars8, xc, fast=True)
         pk_vars, rep = pack_dense_caches(fast_vars, qc8)
         pk_vars = strip_packed_params(pk_vars)
         print(f"fp8-packed {len(rep)} layers", flush=True)
@@ -112,8 +128,8 @@ def main(argv=None):
             run_method=RunMethodConfig(res_quantizer_flag=True),
         )
         print("init + calibrate (int8)...", flush=True)
-        modeli, varsi = setup(qci)
-        cached_i = cache_quantized_weights(modeli, varsi, x[:2])
+        modeli, calibi, varsi = setup(qci)
+        cached_i = cache_quantized_weights(calibi, varsi, xc)
         i8_vars, report = pack_dense_caches(cached_i, qci)
         i8_vars = strip_packed_params(i8_vars)
         print(f"int8-packed {len(report)} layers", flush=True)

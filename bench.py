@@ -10,6 +10,18 @@ Trials are INTERLEAVED (every trial times ours/baseline/int8 back-to-back)
 and the reported ratio is the median of per-trial ratios — per-trial pairing
 cancels the tunnel's drift, the median rejects outlier trials.
 
+Measurement integrity (VERDICT r3 weak #1):
+
+* Every chain ROTATES through a stack of weight buffers larger than the
+  chip's 128 MB VMEM (bf16: 6 x 32 MB; int8: 12 x 16 MB), so loop-invariant
+  weights cannot stay resident in VMEM across iterations — each iteration
+  pays the real HBM weight read (CLAUDE.md's own bench rule; the r3 headline
+  violated it and published mfu 1.05 > 1).
+* Per-trial slopes pass OUTLIER REJECTION (drop trials outside [2/3, 3/2] of
+  the median before the final stats; the tunnel's +-30% variance produced a
+  3.3x garbage trial in r3) and the published MFU is ASSERTED < 1.0 — a
+  reading above the chip's peak is a measurement artifact, never a result.
+
 What is measured: the framework's inference fast path
 (``ops.fastpath.quantized_matmul`` — bit-ops ExMy requant fused by XLA into
 the bf16 MXU matmul epilogue, emitting quantized bf16 that feeds the next
@@ -27,6 +39,7 @@ so per-chip matmul speed-of-light is the honest baseline.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -39,7 +52,9 @@ from fp8_quantization_tpu.ops.fastpath import ScalarQuantParams, quantized_matmu
 
 M = N = K = 4096
 DEPTHS = (4, 20)
-TRIALS = 7
+TRIALS = 9
+N_W16 = 6    # 6 x 32 MB bf16 weight slabs  = 192 MB > 128 MB VMEM
+N_WI8 = 12   # 12 x 16 MB int8 weight slabs = 192 MB > 128 MB VMEM
 
 # TPU v5e (1 chip) peaks: 197 TFLOP/s bf16, 394 TOP/s int8
 BF16_PEAK_TFLOPS = 197.0
@@ -77,20 +92,41 @@ def _interleaved_slopes(builders, args_for):
 
 def _median(xs):
     s = sorted(xs)
-    return s[len(s) // 2]
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _reject_outliers(trials):
+    """Drop whole trials where ANY impl's slope lies outside [2/3, 3/2] of
+    that impl's median (tunnel hiccups corrupt a full interleaved round, so
+    rejection is by trial index — same-trial ratio pairing stays intact).
+    Keeps at least 5 trials (falls back to the least-deviant ones)."""
+    names = list(trials)
+    n = len(trials[names[0]])
+    meds = {k: _median(trials[k]) for k in names}
+
+    def dev(i):
+        return max(abs(trials[k][i] / meds[k] - 1.0) for k in names)
+
+    keep = [i for i in range(n)
+            if all(2 / 3 <= trials[k][i] / meds[k] <= 3 / 2 for k in names)]
+    if len(keep) < 5:
+        keep = sorted(range(n), key=dev)[:5]
+    return {k: [trials[k][i] for i in sorted(keep)] for k in names}, n - len(keep)
 
 
 def main():
     rng = np.random.default_rng(10)
     x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)) * 0.015625
+    w_stack = jnp.asarray(
+        rng.normal(size=(N_W16, K, N)).astype(np.float32)) * 0.015625
 
     wq, _ = jax.jit(
         lambda w: quantize_to_fp8_ste(
-            w, 8, jnp.max(jnp.abs(w), axis=0, keepdims=True), 4.0, 1
+            w, 8, jnp.max(jnp.abs(w), axis=1, keepdims=True), 4.0, 1
         )
-    )(w)
-    w16 = wq.astype(jnp.bfloat16)
+    )(w_stack)
+    w16 = wq.astype(jnp.bfloat16)             # (S, K, N) bf16 slabs
     res = ScalarQuantParams(
         maxval=jnp.float32(64.0), bias=jnp.int32(2), mant=jnp.int32(4),
         sign=jnp.int32(1),
@@ -103,8 +139,9 @@ def main():
     def ours(n):
         @jax.jit
         def f(x16, w16, res):
-            def body(_, acc):
-                return quantized_matmul(acc, w16, act=None, res=res,
+            def body(i, acc):
+                w = lax.dynamic_index_in_dim(w16, i % N_W16, keepdims=False)
+                return quantized_matmul(acc, w, act=None, res=res,
                                         out_dtype=jnp.bfloat16)
             return lax.fori_loop(0, n, body, x16).sum()
         return f
@@ -112,8 +149,9 @@ def main():
     def baseline(n):
         @jax.jit
         def f(x16, w16, res):
-            def body(_, acc):
-                return jnp.dot(acc, w16,
+            def body(i, acc):
+                w = lax.dynamic_index_in_dim(w16, i % N_W16, keepdims=False)
+                return jnp.dot(acc, w,
                                preferred_element_type=jnp.float32).astype(
                     jnp.bfloat16
                 )
@@ -126,17 +164,23 @@ def main():
     from fp8_quantization_tpu.ops.fastpath import (
         Int8Weights, quantize_acts_int8, quantized_matmul_int8)
 
-    wi = (w * 4096.0).astype(jnp.int8)
-    iw = Int8Weights(codes=wi, scale=jnp.full((N,), 2.0 ** -12, jnp.float32),
-                     zp=jnp.full((N,), 128.0, jnp.float32),
-                     wsum=jnp.sum(wi.astype(jnp.int32), axis=0))
+    wi = jnp.asarray(
+        (rng.normal(size=(N_WI8, K, N)) * 32.0).clip(-127, 127)
+        .astype(np.int8))                      # (S, K, N) int8 slabs
+    wsum = jnp.sum(wi.astype(jnp.int32), axis=1)   # (S, N)
+    scale = jnp.full((N,), 2.0 ** -12, jnp.float32)
     sx, zp = jnp.float32(2.0 ** -5), jnp.float32(0.0)
     lo, hi = jnp.float32(-128.0), jnp.float32(127.0)
 
     def int8_chain(n):
         @jax.jit
-        def f(x, iw):
-            def body(_, acc):
+        def f(x, wi, wsum):
+            def body(i, acc):
+                j = i % N_WI8
+                iw = Int8Weights(
+                    codes=lax.dynamic_index_in_dim(wi, j, keepdims=False),
+                    scale=scale, zp=None,
+                    wsum=lax.dynamic_index_in_dim(wsum, j, keepdims=False))
                 codes, cx = quantize_acts_int8(acc, sx, zp, lo, hi)
                 return quantized_matmul_int8(codes, iw, sx, cx)
             return lax.fori_loop(0, n, body, x).sum()
@@ -145,8 +189,10 @@ def main():
     flops = 2.0 * M * N * K
     trials = _interleaved_slopes(
         {"ours": ours, "base": baseline, "int8": int8_chain},
-        {"ours": (x16, w16, res), "base": (x16, w16, res), "int8": (x, iw)},
+        {"ours": (x16, w16, res), "base": (x16, w16, res),
+         "int8": (x, wi, wsum)},
     )
+    trials, rejected = _reject_outliers(trials)
     # per-trial ratios (same-trial cells share drift), then the median —
     # robust to single outlier trials over the tunnel
     ratios = [b / o for o, b in zip(trials["ours"], trials["base"])]
@@ -158,17 +204,30 @@ def main():
     base_tflops = flops / t_base / 1e12
     i8_tops = flops / t_i8 / 1e12
 
+    mfu = ours_tflops / BF16_PEAK_TFLOPS
+    base_mfu = base_tflops / BF16_PEAK_TFLOPS
+    i8_mfu = i8_tops / INT8_PEAK_TOPS
+    for label, v in [("mfu", mfu), ("baseline_mfu", base_mfu),
+                     ("int8_mfu", i8_mfu)]:
+        if v > 1.0:
+            print(f"INVALID: {label} {v:.4f} > 1.0 exceeds the chip peak — "
+                  "measurement artifact (VMEM-cached weights or a corrupted "
+                  "trial); refusing to publish.", file=sys.stderr)
+            sys.exit(1)
+
     print(json.dumps({
         "metric": "fp8_quant_matmul_tflops",
         "value": round(ours_tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(_median(ratios), 4),
         "vs_baseline_spread": [round(min(ratios), 4), round(max(ratios), 4)],
-        "mfu": round(ours_tflops / BF16_PEAK_TFLOPS, 4),
-        "baseline_mfu": round(base_tflops / BF16_PEAK_TFLOPS, 4),
+        "mfu": round(mfu, 4),
+        "baseline_mfu": round(base_mfu, 4),
         "int8_mxu_tops": round(i8_tops, 2),
         "int8_vs_baseline": round(_median(i8_ratios), 4),
-        "int8_mfu": round(i8_tops / INT8_PEAK_TOPS, 4),
+        "int8_mfu": round(i8_mfu, 4),
+        "weight_rotation": [N_W16, N_WI8],
+        "trials_rejected": rejected,
     }))
 
 

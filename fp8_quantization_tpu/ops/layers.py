@@ -329,9 +329,11 @@ class QuantDense(_QuantOpBase):
             codes, cx = quantize_acts_int8(x2d, s[0], zp[0], lo[0], hi[0])
             acc = None
             if w4 is not None:
-                from .pallas.dequant_matmul import int4_matmul
+                # tensor-parallel under parallel.partitioned_kernels(mesh):
+                # the nibble codes stay N-sharded per chip (no all-gather)
+                from ..parallel.shard_kernels import sharded_int4_matmul
 
-                acc = int4_matmul(codes, w4, k=k_in)
+                acc = sharded_int4_matmul(codes, w4, k=k_in)
             # iw.zp is present only for layers where some channel calibrated
             # UNSIGNED (all-nonnegative kernel -> signed=0, effective -128
             # zero point); signed-symmetric layers statically skip the whole
@@ -359,7 +361,10 @@ class QuantDense(_QuantOpBase):
             # real-8-bit serving: weights stay 1 byte in HBM, decoded to bf16
             # in VMEM inside the fused kernel. The f32 ``kernel`` param is
             # never requested, so ``strip_packed_params`` can drop it.
-            from .pallas.dequant_matmul import dequant_matmul
+            # Tensor-parallel under parallel.partitioned_kernels(mesh): each
+            # chip decodes only its (K, N/model) code shard via shard_map.
+            from ..parallel.shard_kernels import (
+                sharded_dequant_matmul as dequant_matmul)
 
             acfg = self.qc.act_quantizer(self.n_bits_act)
             chain_in = (self.qc.quantize_input and qp.quant_a

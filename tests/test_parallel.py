@@ -96,3 +96,204 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel packed kernels (parallel.shard_kernels, VERDICT r3 next #5)
+# ---------------------------------------------------------------------------
+
+def _calibrated_dense(rng, qc, k=16, n=16, n_bits_w=None):
+    from fp8_quantization_tpu.ops.layers import QuantDense
+    from fp8_quantization_tpu.quant.sites import QuantPhase
+
+    layer = QuantDense(qc=qc, features=n, n_bits_w=n_bits_w)
+    x = jnp.asarray(rng.normal(size=(8, k)).astype(np.float32))
+    v = layer.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = layer.apply(v, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    warm = QuantPhase(phase="fixed", fast=True, cache_weights=True)
+    _, ups = layer.apply(v, x, warm, mutable=["quant_cache"])
+    return layer, {**v, **ups}, x
+
+
+def test_partitioned_dequant_matmul_matches_single_device(rng):
+    """Packed-FP8 dense under partitioned_kernels(mesh): each chip runs the
+    dequant kernel on its (K, N/model) code shard; tokens must match the
+    single-device kernel bit-for-bit (full-K dots per shard, same math)."""
+    from fp8_quantization_tpu.ops.fastpath import (
+        pack_dense_caches, strip_packed_params)
+    from fp8_quantization_tpu.parallel import partitioned_kernels
+    from fp8_quantization_tpu.quant.sites import CHAINED, PACKED
+
+    layer, v, x = _calibrated_dense(rng, _qc())
+    vp, _ = pack_dense_caches(v, layer.qc)
+    vp = strip_packed_params(vp)
+
+    ref = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+
+    mesh = make_mesh(data=2, model=4)
+    with mesh, partitioned_kernels(mesh):
+        vs = shard_variables(vp, mesh)
+        xs = shard_batch(x, mesh)
+
+        @jax.jit
+        def fwd(v, x):
+            return layer.apply(v, x, PACKED)
+
+        out = np.asarray(fwd(vs, xs), np.float32)
+    np.testing.assert_array_equal(out, ref)
+
+    # chained FP8: the uint8 x codes cross into the sharded kernel too
+    from fp8_quantization_tpu.quant.sites import decoded
+
+    ref_c = np.asarray(decoded(layer.apply(vp, x, CHAINED)), np.float32)
+    with mesh, partitioned_kernels(mesh):
+        @jax.jit
+        def fwd_c(v, x):
+            return decoded(layer.apply(v, x, CHAINED))
+
+        out_c = np.asarray(fwd_c(shard_variables(vp, mesh),
+                                 shard_batch(x, mesh)), np.float32)
+    np.testing.assert_array_equal(out_c, ref_c)
+
+
+def _qc_uniform(n_bits=8):
+    return QuantConfig(
+        method=QMethod.symmetric_uniform,
+        n_bits=n_bits,
+        per_channel_weights=True,
+        quantize_input=True,
+        weight_range=EstimatorConfig(RangeMethod.current_minmax),
+        act_range=EstimatorConfig(RangeMethod.allminmax),
+        run_method=RunMethodConfig(res_quantizer_flag=True),
+    )
+
+
+def test_partitioned_int4_matmul_matches_single_device(rng):
+    """int4 nibble-packed dense under partitioned_kernels(mesh): sharded
+    int4 kernel == single-device (exact int32 accumulation either way)."""
+    from fp8_quantization_tpu.ops.fastpath import (
+        pack_dense_caches, strip_packed_params)
+    from fp8_quantization_tpu.parallel import partitioned_kernels
+    from fp8_quantization_tpu.quant.sites import PACKED
+
+    layer, v, x = _calibrated_dense(rng, _qc_uniform(), n_bits_w=4)
+    vp, _ = pack_dense_caches(v, layer.qc)
+    assert "w_i4" in str(jax.tree_util.tree_structure(vp))  # int4 installed
+    vp = strip_packed_params(vp)
+
+    ref = np.asarray(layer.apply(vp, x, PACKED), np.float32)
+
+    mesh = make_mesh(data=2, model=4)
+    with mesh, partitioned_kernels(mesh):
+        vs = shard_variables(vp, mesh)
+        xs = shard_batch(x, mesh)
+
+        @jax.jit
+        def fwd(v, x):
+            return layer.apply(v, x, PACKED)
+
+        out = np.asarray(fwd(vs, xs), np.float32)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_partitioned_kernel_hlo_has_no_code_gather(rng):
+    """The compiled SPMD module under partitioned_kernels must not
+    all-gather the uint8 weight codes (the r3 failure mode: GSPMD gathered
+    + replicated the custom call per chip)."""
+    from fp8_quantization_tpu.ops.fastpath import (
+        pack_dense_caches, strip_packed_params)
+    from fp8_quantization_tpu.parallel import partitioned_kernels
+    from fp8_quantization_tpu.quant.sites import PACKED
+
+    layer, v, x = _calibrated_dense(rng, _qc())
+    vp, _ = pack_dense_caches(v, layer.qc)
+    vp = strip_packed_params(vp)
+
+    mesh = make_mesh(data=2, model=4)
+    with mesh, partitioned_kernels(mesh):
+        vs = shard_variables(vp, mesh)
+        xs = shard_batch(x, mesh)
+
+        hlo = (jax.jit(lambda v, x: layer.apply(v, x, PACKED))
+               .lower(vs, xs).compile().as_text())
+    gathers = [ln for ln in hlo.splitlines()
+               if "all-gather" in ln and "u8[" in ln]
+    assert not gathers, gathers[:3]
+
+
+# ---------------------------------------------------------------------------
+# Serving features under a mesh (VERDICT r3 weak #8): speculative decoding
+# and prefix-cached admission must produce identical tokens sharded vs not
+# ---------------------------------------------------------------------------
+
+_LSPEC = None
+
+
+def _llama_parts(rng):
+    from fp8_quantization_tpu.models.llama import (
+        KVCache, LlamaSpec, QuantizedLlama)
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=64)
+    model = QuantizedLlama(qc=_qc(), spec=spec)
+    toks = jnp.asarray(rng.integers(0, spec.vocab_size, size=(1, 10)),
+                       jnp.int32)
+    cache = KVCache.zeros(spec, 1, spec.max_seq_len)
+    v = model.init(jax.random.key(0), toks, cache, ESTIMATE)
+    _, ups = model.apply(v, toks, cache, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    return spec, model, {**v, **ups}
+
+
+def test_sharded_speculative_decode_matches_single_device(rng):
+    """Speculative decoding with model-sharded target/draft variables under a
+    mesh must emit the exact single-device token sequence (greedy mode is
+    token-identical to the target's greedy decode by construction, so any
+    sharding-induced divergence surfaces as a token mismatch)."""
+    from fp8_quantization_tpu.models.speculative import SpeculativeDecoder
+
+    spec, model, v = _llama_parts(rng)
+    prompt = [3, 1, 4, 1, 5]
+
+    def run(mesh):
+        if mesh is None:
+            dec = SpeculativeDecoder(model, v, spec, model, v, spec, k=3)
+            return dec.generate(prompt, max_new_tokens=8)[0]
+        with mesh:
+            vs = shard_variables(v, mesh)
+            dec = SpeculativeDecoder(model, vs, spec, model, vs, spec, k=3)
+            return dec.generate(prompt, max_new_tokens=8)[0]
+
+    want = run(None)
+    got = run(make_mesh(data=1, model=8))
+    assert got == want
+
+
+def test_sharded_prefix_admission_matches_cold(rng):
+    """Prefix-cache splicing (host slab -> sharded device cache via
+    dynamic_update_slice under GSPMD) must not change tokens: warm sharded
+    admissions == cold single-device run, and the cache must actually hit."""
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+
+    spec, model, v = _llama_parts(rng)
+    shared = list(rng.integers(0, 64, size=20))
+    prompts = [shared + [11, 12, 13], shared + [31, 32]]
+
+    def run(mesh, pc):
+        b = ContinuousBatcher(model, v, spec, slots=2,
+                              max_seq=spec.max_seq_len, mesh=mesh,
+                              prefix_cache=pc)
+        out = []
+        for p in prompts:
+            s = b.admit(p, max_new_tokens=6)
+            b.run_to_completion()
+            out.append(b.retire(s))
+        return out
+
+    cold = run(None, None)
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = run(make_mesh(data=2, model=4), pc)
+    assert warm == cold
+    assert pc.misses == 1 and pc.hits == 1

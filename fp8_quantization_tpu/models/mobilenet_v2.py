@@ -83,7 +83,9 @@ class QuantInvertedResidual(nn.Module):
         )(y, qp)
 
         if use_res:
-            y = x + y
+            # fused boundary (qp.chained): block output may arrive as a
+            # pending Affine — the add needs materialized floats
+            y = decoded(x) + decoded(y)
             if qp.quant_a and self.quantize_residual:
                 y = QuantSite(
                     self.qc.act_quantizer(), self.qc.act_range,
@@ -171,9 +173,11 @@ class QuantizedMobileNetV2(nn.Module):
         )
         if qp.quant_a and not self.qc.quantize_input:
             x = pool_site(x, qp)
-        # AvgPool2d(input_size // 32) (mobilenet_v2.py:101)
+        # AvgPool2d(input_size // 32) (mobilenet_v2.py:101); a pending
+        # Affine (fused boundary) materializes first — the clamp does not
+        # commute with pooling
         win = self.input_size // 32
-        x = nn.avg_pool(x, (win, win), strides=(win, win))
+        x = nn.avg_pool(decoded(x), (win, win), strides=(win, win))
         if qp.quant_a:
             # tied: quantize without range update (autoquant_utils.py:147-158)
             x = pool_site(x, FIXED if tie else qp)

@@ -59,7 +59,9 @@ class QuantBasicBlock(nn.Module):
             strides=(1, 1), padding=[(1, 1), (1, 1)], use_bias=False,
             name="conv2",
         )(y, qp)
-        y = nn.relu(y + residual)
+        # fused boundary (qp.chained): conv outputs may arrive as pending
+        # Affines — the residual add needs materialized floats
+        y = nn.relu(decoded(y) + decoded(residual))
         if qp.quant_a and self.quantize_residual:
             y = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
                           name="activation_quantizer")(y, qp)
@@ -101,7 +103,7 @@ class QuantBottleneck(nn.Module):
             qc=self.qc, features=out_ch, kernel_size=(1, 1), strides=(1, 1),
             padding=[(0, 0), (0, 0)], use_bias=False, name="conv3",
         )(y, qp)
-        y = nn.relu(y + residual)
+        y = nn.relu(decoded(y) + decoded(residual))
         if qp.quant_a and self.quantize_residual:
             y = QuantSite(self.qc.act_quantizer(), self.qc.act_range,
                           name="activation_quantizer")(y, qp)
@@ -145,7 +147,11 @@ class QuantizedResNet(nn.Module):
             padding=[(3, 3), (3, 3)], use_bias=False, activation=nn.relu,
             n_bits_w=first_w, name="conv1",
         )(x, qp)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # pending Affine (fused boundary) materializes before the FP32
+        # max-pool (per-channel scales may be negative: clamp/pool do not
+        # commute with the affine)
+        x = nn.max_pool(decoded(x), (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
 
         in_ch = 64
         last_block = (4, reps[-1] - 1)

@@ -54,3 +54,13 @@ def get_activation(name: Optional[str]) -> Optional[Callable]:
     if name is None:
         return None
     return ACTIVATIONS[name]
+
+
+# pure-clamp activations: (lo, hi) bounds that fold EXACTLY into a pending
+# Affine / a downstream uniform quantizer's integer clip (fused-boundary
+# serving — see quant.sites.Affine). Keyed by function identity.
+CLAMP_ACTIVATIONS = {
+    jax.nn.relu: (0.0, None),
+    relu6: (0.0, 6.0),
+    hardtanh: (-1.0, 1.0),
+}

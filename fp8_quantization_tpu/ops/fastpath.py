@@ -146,6 +146,21 @@ def quantize_acts_int8(x, scale, zero_point, int_min, int_max):
     return codes, c_x
 
 
+def quantize_acts_affine(aff, scale, zero_point, int_min, int_max):
+    """:func:`quantize_acts_int8` over a pending-:class:`Affine` input.
+
+    The producer's dequant/BN/ReLU6 chain folds into this site's
+    quantization (one mul-add-round-clip per element; see
+    ``quant.sites.Affine``); same (codes, c_x) contract as
+    ``quantize_acts_int8``."""
+    from ..quant.sites import fold_quantize_affine
+
+    x_int = fold_quantize_affine(aff, scale, zero_point, int_min, int_max)
+    shift = jnp.where(int_min < 0, 0.0, 128.0)
+    codes = (x_int - shift).astype(jnp.int8)
+    return codes, zero_point - shift
+
+
 def pack_int4(codes):
     """Nibble-pack int8 codes in [-8, 7]: 0.5 B/weight.
 
@@ -190,7 +205,8 @@ def _explicit_conv_pads(spatial_in, kernel_spatial, window_strides, padding,
 def quantized_conv_int8(x_codes, w_codes, sx, scale, cx, wsum, *,
                         window_strides, padding, lhs_dilation, rhs_dilation,
                         dimension_numbers, feature_group_count=1,
-                        zp=None, bias=None, out_dtype=jnp.float32):
+                        zp=None, bias=None, out_dtype=jnp.float32,
+                        as_affine=False):
     """Native int8 convolution (VERDICT r2 next #3): code conv accumulates
     exactly in int32 on the 2x-rate int8 MXU, then one f32 scale epilogue.
 
@@ -210,6 +226,14 @@ def quantized_conv_int8(x_codes, w_codes, sx, scale, cx, wsum, *,
 
     x_codes: (B, *S, I) int8; w_codes: (*K, I/g, O) int8; scale: (O,) f32;
     cx: () f32 integer-valued; wsum: (O,) int32 per-channel code sums.
+
+    ``as_affine`` (fused-boundary serving, ``QuantPhase.chained`` on conv
+    models): return a pending :class:`~..quant.sites.Affine` instead of the
+    materialized f32 result — the rank-1 epilogue constants fold into O(C)
+    vector math and the element loop shrinks to the int32->f32 cast (plus
+    the Xsum tensor term for unsigned-weight layers); BN / activation /
+    the next act site fold on top (same value up to f32 constant-folding
+    ULPs — see ``Affine``).
     """
     n_spatial = len(w_codes.shape) - 2
     spatial_in = x_codes.shape[1:1 + n_spatial]
@@ -231,8 +255,7 @@ def quantized_conv_int8(x_codes, w_codes, sx, scale, cx, wsum, *,
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32,
     )
-    out = acc.astype(jnp.float32) - cx * wsum.astype(jnp.float32)
-    if zp is not None:  # static: symmetric-signed weights skip entirely
+    def _xsum_term():
         g = feature_group_count
         in_per_g = w_codes.shape[-2]
         ones = jnp.ones((*kernel_spatial, in_per_g, g), jnp.int8)
@@ -248,8 +271,27 @@ def quantized_conv_int8(x_codes, w_codes, sx, scale, cx, wsum, *,
         o_per_g = w_codes.shape[-1] // g
         cw = zp - 128.0
         k_taps = math.prod(kernel_spatial) * in_per_g
-        out = out - jnp.repeat(xsum, o_per_g, axis=-1) * cw
-        out = out + (k_taps * cx) * cw
+        return jnp.repeat(xsum, o_per_g, axis=-1) * cw, (k_taps * cx) * cw
+
+    if as_affine:
+        from ..quant.sites import Affine
+
+        x_t = acc.astype(jnp.float32)
+        sc = sx * scale                              # (O,)
+        b = -(cx * wsum.astype(jnp.float32)) * sc    # (O,)
+        if zp is not None:
+            xs, const = _xsum_term()
+            x_t = x_t - xs
+            b = b + const * sc
+        if bias is not None:
+            b = b + bias
+        return Affine(x_t, sc, b)
+
+    out = acc.astype(jnp.float32) - cx * wsum.astype(jnp.float32)
+    if zp is not None:  # static: symmetric-signed weights skip entirely
+        xs, const = _xsum_term()
+        out = out - xs
+        out = out + const
     out = out * (sx * scale)
     if bias is not None:
         out = out + bias

@@ -72,9 +72,71 @@ class CodedFP(flax.struct.PyTreeNode):
         return self.replace(codes=self.codes.reshape(*shape))
 
 
+class Affine(flax.struct.PyTreeNode):
+    """A tensor with a pending per-channel affine + clamp: the value is
+    ``clip(x * scale + bias, lo, hi)`` (clip skipped when ``lo``/``hi`` are
+    None), with ``scale``/``bias`` broadcast on the LAST axis.
+
+    The fused-boundary currency of int8 CNN serving (``QuantPhase.chained``
+    on conv models, VERDICT r3 next #1): everything between a conv's int32
+    accumulator and the next layer's activation quantizer is affine-and-clamp
+    — the dequant epilogue (per-channel scale, zero-point offset), the
+    inference BatchNorm, and ReLU/ReLU6. Instead of evaluating ~15 tensor
+    ops' worth of chain per element, the producer hands the RAW tensor plus
+    folded per-channel constants forward; the consumer's uniform act site
+    folds the whole thing into its own quantization:
+
+      codes = clip(round(x*(scale/s) + (bias/s + zp)), lo', hi')
+
+    — one mul, one add, one round, one clip per element, with the clamp
+    merged EXACTLY into integer bounds (``round(clip(v,l,h)/s+zp)`` equals
+    ``clip(round(v/s+zp), round(l/s+zp), round(h/s+zp))`` for integer
+    ``zp`` by monotonicity of round). The folded per-channel constants are
+    O(C) vector math, hoisted out of the element loop.
+
+    Value contract: equal to evaluating the chain sequentially up to f32
+    constant-folding rounding (±1 ULP before each round — the same order of
+    deviation the exact-int32-accumulation serving path already carries vs
+    the f32 simulation). Exact when scales/stats are powers of two (tested).
+    """
+
+    x: jnp.ndarray
+    scale: jnp.ndarray                 # (C,) or scalar f32
+    bias: jnp.ndarray                  # (C,) or scalar f32
+    lo: "jnp.ndarray | None" = None    # () f32, clamp on the POST-affine value
+    hi: "jnp.ndarray | None" = None
+
+    @property
+    def shape(self):
+        return self.x.shape
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+    def reshape(self, *shape):
+        """Leading-dim reshapes only (per-channel constants ride the last
+        axis)."""
+        y = self.x.reshape(*shape)
+        assert y.shape[-1] == self.x.shape[-1], (y.shape, self.x.shape)
+        return self.replace(x=y)
+
+    def then_affine(self, s2, b2):
+        """Compose ``v*s2 + b2`` AFTER this affine (requires no clamp set —
+        in the conv serving chain the activation clamp is always set last)."""
+        assert self.lo is None and self.hi is None
+        return Affine(self.x, self.scale * s2, self.bias * s2 + b2)
+
+    def with_clamp(self, lo, hi):
+        assert self.lo is None and self.hi is None
+        return self.replace(
+            lo=None if lo is None else jnp.float32(lo),
+            hi=None if hi is None else jnp.float32(hi))
+
+
 def decoded(x, dtype=jnp.float32):
-    """Materialize a ``Coded``/``CodedFP`` back to values; identity for
-    arrays.
+    """Materialize a ``Coded``/``CodedFP``/``Affine`` back to values;
+    identity for arrays.
 
     XLA fuses this into the consuming elementwise op / matmul prologue, so
     the float form never round-trips HBM — the read stays 1 B/element.
@@ -87,12 +149,20 @@ def decoded(x, dtype=jnp.float32):
         eb, ss = unpack_consts(x.bias, x.mant_width)
         return unpack_exmy_bits(x.codes, x.expo_width, x.mant_width, eb, ss,
                                 dtype=dtype)
+    if isinstance(x, Affine):
+        v = x.x.astype(jnp.float32) * x.scale + x.bias
+        if x.lo is not None:
+            v = jnp.maximum(v, x.lo)
+        if x.hi is not None:
+            v = jnp.minimum(v, x.hi)
+        return v
     return x
 
 
 def coded_shape(x):
-    """Shape of a maybe-Coded value without decoding it."""
-    return x.codes.shape if isinstance(x, (Coded, CodedFP)) else x.shape
+    """Shape of a maybe-Coded/Affine value without decoding it."""
+    return x.shape if isinstance(x, Affine) else (
+        x.codes.shape if isinstance(x, (Coded, CodedFP)) else x.shape)
 
 
 def codes_eligible(qcfg: "QuantizerConfig", qp: "QuantPhase") -> bool:
@@ -177,6 +247,29 @@ PACKED = QuantPhase(phase="fixed", fast=True, packed=True)
 CHAINED = QuantPhase(phase="fixed", fast=True, packed=True, chained=True)
 
 
+def fold_quantize_affine(aff: "Affine", s, zp, lo_i, hi_i):
+    """Integer grid codes ``x_int`` of quantizing a pending-:class:`Affine`
+    value on a frozen per-tensor uniform grid, with the affine and clamp
+    folded in: one mul, one add, one round, one clip per element.
+
+    Mirrors ``clip(round(clip(x*scale+bias, lo, hi)/s) + zp, lo_i, hi_i)``.
+    The value clamp merges into the integer bounds by monotonicity of round
+    (``round(clip(v,l,h)/s) == clip(round(v/s), round(l/s), round(h/s))``).
+    ``zp`` stays OUTSIDE the round: ``jnp.round`` is half-to-even, and
+    banker's rounding does not commute with integer shifts
+    (``round(2.5)=2`` but ``round(2.5+13)=16``) — folding ``zp`` into the
+    round argument would flip exact-tie codes whenever ``zp`` is odd."""
+    k = aff.scale / s
+    c = aff.bias / s
+    t = jnp.round(aff.x * k + c) + zp
+    lo_b, hi_b = lo_i + 0.0, hi_i + 0.0
+    if aff.lo is not None:
+        lo_b = jnp.maximum(lo_b, jnp.round(aff.lo / s) + zp)
+    if aff.hi is not None:
+        hi_b = jnp.minimum(hi_b, jnp.round(aff.hi / s) + zp)
+    return jnp.clip(t, lo_b, hi_b)
+
+
 class QuantSite(nn.Module):
     """Quantizer + range estimator for one tensor site."""
 
@@ -186,7 +279,7 @@ class QuantSite(nn.Module):
 
     @nn.compact
     def __call__(self, x, qp: QuantPhase = FIXED, *, with_bias: bool = False,
-                 as_codes: bool = False):
+                 as_codes: bool = False, as_affine: bool = False):
         """Quantize ``x``; optionally also return the FP exponent bias.
 
         Returns ``y`` or ``(y, bias)`` when ``with_bias`` (the approx-matmul
@@ -197,7 +290,39 @@ class QuantSite(nn.Module):
         fake-quantized f32 values. ``decoded`` of the result is bit-exact
         with the normal return. Per-tensor uniform quantizers, fixed phase
         only.
+
+        ``as_affine`` (fused CNN boundary serving): return an :class:`Affine`
+        carrying the integer grid codes with the dequant multiply pending
+        (``value = x_int*s - zp*s``) — downstream affine stages (BN) fold
+        into it instead of materializing. Per-tensor uniform, fixed phase.
         """
+        if isinstance(x, Affine):
+            # fused-boundary input: fold the pending affine+clamp into this
+            # site's quantization when the grid is frozen per-tensor uniform
+            if (qp.estimating or self.qcfg.per_channel
+                    or self.qcfg.method == QMethod.fp_quantizer):
+                x = decoded(x)
+            else:
+                s, zp, lo_i, hi_i = self.uniform_int_params()
+                x_int = fold_quantize_affine(x, s[0], zp[0], lo_i[0], hi_i[0])
+                if as_codes:
+                    shift = jnp.where(lo_i[0] < 0.0, 0.0, 128.0)
+                    return Coded((x_int - shift).astype(jnp.int8), s[0],
+                                 zp[0] - shift)
+                if as_affine:
+                    return Affine(x_int, s[0], -zp[0] * s[0])
+                y = (x_int - zp[0]) * s[0]
+                return (y, None) if with_bias else y
+        if as_affine:
+            if (qp.estimating or self.qcfg.per_channel
+                    or self.qcfg.method == QMethod.fp_quantizer):
+                raise ValueError(
+                    "as_affine needs a frozen per-tensor uniform site")
+            s, zp, lo_i, hi_i = self.uniform_int_params()
+            if x.dtype != jnp.float32:
+                x = x.astype(jnp.float32)
+            x_int = jnp.clip(jnp.round(x / s[0]) + zp[0], lo_i[0], hi_i[0])
+            return Affine(x_int, s[0], -zp[0] * s[0])
         if isinstance(x, (Coded, CodedFP)):
             x = decoded(x)  # fused dequant: reads 1 B/element
         fp_codes = as_codes and self.qcfg.method == QMethod.fp_quantizer

@@ -119,13 +119,19 @@ def main(argv=None):
                            QuantPhase(phase="fixed", fast=True, packed=True))
 
     if want & set(INT8_MODES):
+        # run_method: the REFERENCE defaults (click_options.py:483-486 —
+        # every flag False): plain PTQ eval does NOT fake-quantize the conv
+        # result (res_quantizer is an approx-path feature). r3's committed
+        # int8 rows carried a non-default res fake-quant per conv; the r4
+        # rows are the faithful protocol. "chained" = the fused-boundary
+        # serving mode (quant.sites.Affine).
         qci = QuantConfig(
             method=QMethod.symmetric_uniform,
             per_channel_weights=True,
             quantize_input=True,
             weight_range=EstimatorConfig(RangeMethod.current_minmax),
             act_range=EstimatorConfig(RangeMethod.allminmax),
-            run_method=RunMethodConfig(res_quantizer_flag=True),
+            run_method=RunMethodConfig(),
         )
         print("init + calibrate (int8)...", flush=True)
         modeli, calibi, varsi = setup(qci)

@@ -38,7 +38,7 @@ from fp8_quantization_tpu.ops.layers import (
     QuantConvTranspose,
 )
 from fp8_quantization_tpu.quant import ESTIMATE
-from fp8_quantization_tpu.quant.sites import CHAINED, FAST, PACKED
+from fp8_quantization_tpu.quant.sites import CHAINED, FAST, PACKED, QuantPhase
 
 
 def _int8_qc(n_bits=8, res=True):
@@ -213,8 +213,13 @@ def test_mobilenet_int8_e2e(rng):
     y_fast = np.asarray(model.apply(variables, x, FAST))
     y_pack = np.asarray(model.apply(packed, x, PACKED))
     np.testing.assert_allclose(y_pack, y_fast, rtol=5e-4, atol=5e-4)
+    # chained = the FUSED-boundary serving mode (quant.sites.Affine): equal
+    # to the unfused int8 path up to f32 constant-folding ULPs — i.e. at
+    # most a grid step at a handful of round boundaries, never a ranking
+    # change on these scales
     y_chained = np.asarray(model.apply(packed, x, CHAINED))
-    np.testing.assert_array_equal(y_chained, y_pack)
+    np.testing.assert_allclose(y_chained, y_pack, rtol=5e-4, atol=5e-4)
+    assert (y_chained.argmax(-1) == y_pack.argmax(-1)).all()
 
 
 def test_resnet18_int8_e2e(rng):
@@ -228,6 +233,9 @@ def test_resnet18_int8_e2e(rng):
     y_fast = np.asarray(model.apply(variables, x, FAST))
     y_pack = np.asarray(model.apply(packed, x, PACKED))
     np.testing.assert_allclose(y_pack, y_fast, rtol=5e-4, atol=5e-4)
+    y_chained = np.asarray(model.apply(packed, x, CHAINED))
+    np.testing.assert_allclose(y_chained, y_pack, rtol=5e-4, atol=5e-4)
+    assert (y_chained.argmax(-1) == y_pack.argmax(-1)).all()
 
 
 def test_transpose_conv_unsigned_acts_int8(rng):
@@ -258,3 +266,116 @@ def test_transpose_conv_unsigned_acts_int8(rng):
     y_fast = np.asarray(model.apply(variables, x, FAST))
     y_pack = np.asarray(model.apply(packed, x, PACKED))
     np.testing.assert_allclose(y_pack, y_fast, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused-boundary algebra (quant.sites.Affine, VERDICT r3 next #1)
+# ---------------------------------------------------------------------------
+
+def test_fold_quantize_affine_exact_po2(rng):
+    """With power-of-two constants every product/quotient is exact in f32,
+    so the folded one-mul-add-round-clip must equal the sequential
+    materialize-then-quantize BIT-FOR-BIT (incl. the clamp merged into
+    integer bounds)."""
+    from fp8_quantization_tpu.quant.sites import (
+        Affine, decoded, fold_quantize_affine)
+
+    x = jnp.asarray(rng.integers(-1000, 1000, size=(64, 32)), jnp.float32)
+    scale = jnp.asarray(2.0 ** rng.integers(-8, -2, size=(32,)), jnp.float32)
+    bias = jnp.asarray(
+        rng.integers(-64, 64, size=(32,)) * 0.125, jnp.float32)
+    s, zp = jnp.float32(2.0 ** -4), jnp.float32(13.0)
+    lo_i, hi_i = jnp.float32(0.0), jnp.float32(255.0)
+
+    for lo, hi in [(None, None), (0.0, 6.0), (0.0, None)]:
+        aff = Affine(x, scale, bias,
+                     None if lo is None else jnp.float32(lo),
+                     None if hi is None else jnp.float32(hi))
+        got = np.asarray(fold_quantize_affine(aff, s, zp, lo_i, hi_i))
+        v = np.asarray(decoded(aff))
+        want = np.clip(np.round(v / float(s)) + float(zp), float(lo_i),
+                       float(hi_i))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_affine_compose_exact_po2(rng):
+    """then_affine / with_clamp compose exactly (po2 constants): decoding
+    the composed Affine == applying the stages sequentially."""
+    from fp8_quantization_tpu.quant.sites import Affine, decoded
+
+    x = jnp.asarray(rng.integers(-500, 500, size=(16, 8)), jnp.float32)
+    s1 = jnp.asarray(2.0 ** rng.integers(-6, -2, size=(8,)), jnp.float32)
+    b1 = jnp.asarray(rng.integers(-16, 16, size=(8,)) * 0.25, jnp.float32)
+    s2 = jnp.asarray(2.0 ** rng.integers(-2, 3, size=(8,)), jnp.float32)
+    b2 = jnp.asarray(rng.integers(-8, 8, size=(8,)) * 0.5, jnp.float32)
+
+    aff = Affine(x, s1, b1).then_affine(s2, b2).with_clamp(0.0, 6.0)
+    got = np.asarray(decoded(aff))
+    want = np.clip((np.asarray(x) * np.asarray(s1) + np.asarray(b1))
+                   * np.asarray(s2) + np.asarray(b2), 0.0, 6.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chained_fused_boundary_exact_po2(rng):
+    """Two stacked BN convs with every scale/stat forced to a power of two:
+    the fused-boundary CHAINED apply must equal the unfused PACKED apply
+    BIT-FOR-BIT (all constant folds exact -> identical rounds)."""
+    import flax
+    import flax.linen as fnn
+
+    from fp8_quantization_tpu.ops.activations import relu6
+
+    qc = _int8_qc()
+
+    class TwoConv(fnn.Module):
+        qc: QuantConfig
+
+        @fnn.compact
+        def __call__(self, x, qp):
+            y = BNQuantConv(qc=self.qc, features=8, kernel_size=(3, 3),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            activation=relu6, name="conv1")(x, qp)
+            y = BNQuantConv(qc=self.qc, features=8, kernel_size=(3, 3),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            activation=fnn.relu, name="conv2")(y, qp)
+            from fp8_quantization_tpu.quant.sites import decoded as _dec
+
+            return _dec(y)
+
+    def po2ize(tree):
+        def fix(path, v):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            v = np.asarray(v)
+            if name in ("delta",):
+                return jnp.asarray(2.0 ** np.floor(np.log2(np.abs(v) + 1e-30)),
+                                   jnp.float32)
+            if name in ("gamma", "mean"):
+                return jnp.asarray(
+                    np.sign(v) * 2.0 ** np.round(np.log2(np.abs(v) + 2e-2)),
+                    jnp.float32)
+            if name == "beta":
+                return jnp.asarray(np.round(v * 8) / 8.0, jnp.float32)
+            if name == "var":
+                # var + bn_eps exactly a power of two
+                return jnp.asarray(
+                    2.0 ** np.round(np.log2(v + 1e-5)) - 1e-5, jnp.float32)
+            return jnp.asarray(v)
+
+        return jax.tree_util.tree_map_with_path(fix, tree)
+
+    model = TwoConv(qc=qc)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = model.apply(variables, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**variables, **ups}
+    v = flax.core.unfreeze(v)
+    v["quant"] = po2ize(v["quant"])
+    v["batch_stats"] = po2ize(v["batch_stats"])
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True)
+    _, ups = model.apply(v, x, cache_qp, mutable=["quant_cache"])
+    v = {**v, **ups}
+    packed, _ = pack_dense_caches(v, qc)
+
+    y_pack = np.asarray(model.apply(packed, x, PACKED))
+    y_chained = np.asarray(model.apply(packed, x, CHAINED))
+    np.testing.assert_array_equal(y_chained, y_pack)

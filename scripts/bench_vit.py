@@ -35,7 +35,7 @@ from jax import lax
 from _harness import emit_artifact, interleaved_slopes, ratio
 
 FP8_MODES = ("fp32", "fixed", "cached", "fast", "fast_nofused")
-INT8_MODES = ("int8", "chained")
+INT8_MODES = ("int8", "chained", "int8_nores", "chained_nores")
 
 
 def main(argv=None):
@@ -129,6 +129,30 @@ def main(argv=None):
                             QuantPhase(phase="fixed", fast=True, packed=True,
                                        chained=True))
 
+        # faithful-default family (VERDICT r3 next #1): the reference's
+        # run_method defaults are all False (click_options.py:483-486) —
+        # plain PTQ does not fake-quantize dense results. The _ActSite
+        # placement (context/residual/intermediate sites) is the reference
+        # ViT's and stays; only the per-dense res-FQ passes drop.
+        if want & {"int8_nores", "chained_nores"}:
+            import dataclasses as _dc
+
+            qcn = _dc.replace(qci, run_method=RunMethodConfig())
+            print("init + calibrate (int8, reference-default run_method)...",
+                  flush=True)
+            modeln, varsn = setup(qcn)
+            cached_n = cache_quantized_weights(modeln, varsn, x[:2])
+            n_vars, report = pack_dense_caches(cached_n, qcn)
+            n_vars = strip_packed_params(n_vars)
+            print(f"int8_nores-packed {len(report)} dense layers", flush=True)
+            modes["int8_nores"] = (
+                modeln, n_vars,
+                QuantPhase(phase="fixed", fast=True, packed=True))
+            modes["chained_nores"] = (
+                modeln, n_vars,
+                QuantPhase(phase="fixed", fast=True, packed=True,
+                           chained=True))
+
     modes = {k: v for k, v in modes.items() if k in want}
 
     def builder(model, vs, qp):
@@ -172,6 +196,9 @@ def main(argv=None):
         ("fast", "int8", "int8_vs_fast"),
         ("fast", "chained", "chained_vs_fast"),
         ("int8", "chained", "chained_vs_int8"),
+        ("fast", "int8_nores", "int8_nores_vs_fast"),
+        ("fast", "chained_nores", "chained_nores_vs_fast"),
+        ("int8", "int8_nores", "nores_vs_int8"),
         ("fast_nofused", "fast", "sdpa_fused_speedup"),
         ("fixed", "fast", "fast_vs_fixed"),
     ]:

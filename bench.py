@@ -96,6 +96,12 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def _iqr(xs):
+    s = sorted(xs)
+    n = len(s)
+    return [s[n // 4], s[(3 * n) // 4 if (3 * n) // 4 < n else n - 1]]
+
+
 def _reject_outliers(trials):
     """Drop whole trials where ANY impl's slope lies outside [2/3, 3/2] of
     that impl's median (tunnel hiccups corrupt a full interleaved round, so
@@ -221,6 +227,7 @@ def main():
         "unit": "TFLOP/s",
         "vs_baseline": round(_median(ratios), 4),
         "vs_baseline_spread": [round(min(ratios), 4), round(max(ratios), 4)],
+        "vs_baseline_iqr": [round(v, 4) for v in _iqr(ratios)],
         "mfu": round(mfu, 4),
         "baseline_mfu": round(base_mfu, 4),
         "int8_mxu_tops": round(i8_tops, 2),

@@ -87,6 +87,7 @@ class ContinuousBatcher:
 
         import functools
 
+        @self._partitioned
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(variables, tokens, cache, keep, key):
             logits, new_cache = model.apply(variables, tokens, cache, qp)
@@ -103,6 +104,23 @@ class ContinuousBatcher:
 
         self._decode = decode_step
         self._prefill_cache = {}
+
+    def _partitioned(self, fn):
+        """Run (and therefore TRACE) ``fn`` under ``partitioned_kernels``
+        when this batcher has a mesh, so the packed/int4 Pallas kernels
+        tensor-parallelize via shard_map instead of being gathered and
+        replicated per chip (parallel/shard_kernels.py). The contextvar is
+        a trace-time switch: it must be active on the first CALL (when jit
+        traces), not at definition."""
+        if self.mesh is None:
+            return fn
+        from ..parallel.shard_kernels import partitioned_kernels
+
+        def wrapped(*a, **k):
+            with partitioned_kernels(self.mesh):
+                return fn(*a, **k)
+
+        return wrapped
 
     def _next_key(self):
         self._step_count += 1
@@ -123,7 +141,7 @@ class ContinuousBatcher:
                                          sampling, key)[0]
                 return next_tok, sub.k, sub.v
 
-            self._prefill_cache[t_pad] = prefill
+            self._prefill_cache[t_pad] = self._partitioned(prefill)
         return self._prefill_cache[t_pad]
 
     def _resume_admit_fn(self, t_pad: int):
@@ -158,7 +176,7 @@ class ContinuousBatcher:
                                          sampling, rkey)[0]
                 return next_tok, sub.k, sub.v
 
-            self._prefill_cache[key] = admit
+            self._prefill_cache[key] = self._partitioned(admit)
         return self._prefill_cache[key]
 
     def admit(self, prompt: List[int], max_new_tokens: int = 32) -> int:

@@ -75,19 +75,32 @@ def main(argv=None):
 
     rng = np.random.default_rng(10)
     b = args.batch_size
-    x = jnp.asarray(rng.normal(size=(b, 224, 224, 3)).astype(np.float32))
+    x_np = rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
     cs = args.calib_size or 224
-    xc = (x[:2] if cs == 224 else jnp.asarray(
-        rng.normal(size=(2, cs, cs, 3)).astype(np.float32)))
+    xc_np = (x_np[:2] if cs == 224
+             else rng.normal(size=(2, cs, cs, 3)).astype(np.float32))
+
+    # Calibration, weight caching and packing all run on the LOCAL CPU
+    # backend: the estimate-phase graph (~160 estimator sites) takes >1 h to
+    # compile over the tunneled chip even at calib-size 96 (r4 measured),
+    # and eager per-layer packing costs ~0.4 s/dispatch there. Ranges/packed
+    # codes are correctness-only inputs to a THROUGHPUT bench (see
+    # tests/test_calib_twin.py: the timed program is byte-identical
+    # regardless of calibration provenance), so the only thing that must
+    # run on the TPU is the timed cells — variables transfer once below.
+    cpu = jax.local_devices(backend="cpu")[0]
+    x = jnp.asarray(x_np)
 
     def setup(qc):
         calib_model = build_model(args.arch, qc, input_size=cs)
         model = (calib_model if cs == 224
                  else build_model(args.arch, qc, input_size=224))
-        variables = calib_model.init(jax.random.key(0), xc[:1], ESTIMATE)
-        _, ups = calib_model.apply(variables, xc, ESTIMATE,
-                                   mutable=["quant", "quant_est"])
-        return model, calib_model, {**variables, **ups}
+        with jax.default_device(cpu):
+            xc = jnp.asarray(xc_np)
+            variables = calib_model.init(jax.random.key(0), xc[:1], ESTIMATE)
+            _, ups = calib_model.apply(variables, xc, ESTIMATE,
+                                       mutable=["quant", "quant_est"])
+            return model, calib_model, {**variables, **ups}, xc
 
     modes = {}
     if want & set(FP8_MODES):
@@ -101,12 +114,13 @@ def main(argv=None):
             run_method=RunMethodConfig(res_quantizer_flag=True,
                                        original_quantize_res=True),
         )
-        print("init + calibrate (fp8)...", flush=True)
-        model8, calib8, vars8 = setup(qc8)
-        cached_vars = cache_quantized_weights(calib8, vars8, xc)
-        fast_vars = cache_quantized_weights(calib8, vars8, xc, fast=True)
-        pk_vars, rep = pack_dense_caches(fast_vars, qc8)
-        pk_vars = strip_packed_params(pk_vars)
+        print("init + calibrate (fp8, CPU backend)...", flush=True)
+        model8, calib8, vars8, xc = setup(qc8)
+        with jax.default_device(cpu):
+            cached_vars = cache_quantized_weights(calib8, vars8, xc)
+            fast_vars = cache_quantized_weights(calib8, vars8, xc, fast=True)
+            pk_vars, rep = pack_dense_caches(fast_vars, qc8)
+            pk_vars = strip_packed_params(pk_vars)
         print(f"fp8-packed {len(rep)} layers", flush=True)
         modes["fp32"] = (model8, vars8,
                          QuantPhase(phase="fixed", quant_w=False,
@@ -133,11 +147,12 @@ def main(argv=None):
             act_range=EstimatorConfig(RangeMethod.allminmax),
             run_method=RunMethodConfig(),
         )
-        print("init + calibrate (int8)...", flush=True)
-        modeli, calibi, varsi = setup(qci)
-        cached_i = cache_quantized_weights(calibi, varsi, xc)
-        i8_vars, report = pack_dense_caches(cached_i, qci)
-        i8_vars = strip_packed_params(i8_vars)
+        print("init + calibrate (int8, CPU backend)...", flush=True)
+        modeli, calibi, varsi, xc = setup(qci)
+        with jax.default_device(cpu):
+            cached_i = cache_quantized_weights(calibi, varsi, xc)
+            i8_vars, report = pack_dense_caches(cached_i, qci)
+            i8_vars = strip_packed_params(i8_vars)
         print(f"int8-packed {len(report)} layers", flush=True)
         modes["int8"] = (modeli, i8_vars,
                          QuantPhase(phase="fixed", fast=True, packed=True))
@@ -146,6 +161,15 @@ def main(argv=None):
                                        chained=True))
 
     modes = {k: v for k, v in modes.items() if k in want}
+
+    # one-time transfer of each mode's CPU-built variables to the timed
+    # device (left on CPU they would re-transfer on every timed call)
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        print("transferring variables to device...", flush=True)
+        modes = {k: (m, jax.device_put(v, dev), qp)
+                 for k, (m, v, qp) in modes.items()}
+        jax.block_until_ready([v for _, v, _ in modes.values()])
 
     def builder(model, vs, qp):
         def build(n):

@@ -40,8 +40,8 @@ from fp8_quantization_tpu.models.llama import KVCache, LlamaSpec, QuantizedLlama
 from fp8_quantization_tpu.quant import ESTIMATE
 from fp8_quantization_tpu.quant.sites import QuantPhase
 
-ALL_MODES = ("fast", "packed", "packedkv", "int8", "chained", "int4",
-             "nofused")
+ALL_MODES = ("fast", "packed", "packedkv", "packed_both", "int8", "chained",
+             "int4", "nofused")
 
 
 def fp8_qc():
@@ -127,7 +127,7 @@ def main():
     setups = {}
     n_params = None
 
-    if {"fast", "packed", "packedkv", "nofused"} & set(want):
+    if {"fast", "packed", "packedkv", "packed_both", "nofused"} & set(want):
         qc = fp8_qc()
         model = QuantizedLlama(qc=qc, spec=spec)
         print("calibrate fp8...", file=sys.stderr, flush=True)
@@ -151,6 +151,15 @@ def main():
             mkv = QuantizedLlama(qc=qc, spec=spec, packed_kv=True)
             setups["packedkv"] = dict(model=mkv, vars=vars8, phase=fastp,
                                       kv=jnp.uint8)
+        if "packed_both" in want:
+            # full capacity mode (VERDICT r3 next #6): 1-byte weight codes
+            # (~4x less weight HBM) + uint8 KV (half the KV footprint) in
+            # one model — the pairing of the two packed paths
+            mkv2 = QuantizedLlama(qc=qc, spec=spec, packed_kv=True)
+            setups["packed_both"] = dict(
+                model=mkv2, vars=packed_of(vars8, qc),
+                phase=QuantPhase(phase="fixed", fast=True, packed=True),
+                kv=jnp.uint8)
 
     if {"int8", "chained"} & set(want):
         qc = uniform_qc(8)
@@ -270,6 +279,7 @@ def main():
 
     for kind in ("prefill", "decode"):
         for a, bm in [("fast", "packed"), ("fast", "packedkv"),
+                      ("fast", "packed_both"), ("packedkv", "packed_both"),
                       ("fast", "int8"), ("fast", "chained"),
                       ("int8", "chained"), ("fast", "int4"),
                       ("nofused", "fast")]:

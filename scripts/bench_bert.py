@@ -56,21 +56,26 @@ def main(argv=None):
     spec = BERT_BASE
     rng = np.random.default_rng(10)
     b, t = args.batch_size, args.seq_len
-    ids = jnp.asarray(
-        rng.integers(0, spec.vocab_size, size=(b, t)).astype(np.int32))
-    mask = np.ones((b, t), np.int32)
+    ids_np = rng.integers(0, spec.vocab_size, size=(b, t)).astype(np.int32)
+    mask_np = np.ones((b, t), np.int32)
     # realistic ragged batch: second half of sequences are shorter
     for i in range(b // 2, b):
-        mask[i, int(t * 0.6):] = 0
-    mask = jnp.asarray(mask)
+        mask_np[i, int(t * 0.6):] = 0
+    ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+    # calibration/caching/packing on the local CPU backend (estimate graphs
+    # compile for tens of minutes over the tunnel; ranges are
+    # correctness-only for a throughput bench — tests/test_calib_twin.py)
+    cpu = jax.local_devices(backend="cpu")[0]
 
     def setup(qc):
         model = QuantizedBert(qc=qc, spec=spec)
-        variables = model.init(jax.random.key(0), ids[:1], mask[:1], None,
-                               ESTIMATE)
-        _, ups = model.apply(variables, ids[:2], mask[:2], None, ESTIMATE,
-                             mutable=["quant", "quant_est"])
-        return model, {**variables, **ups}
+        with jax.default_device(cpu):
+            ic, mc = jnp.asarray(ids_np[:2]), jnp.asarray(mask_np[:2])
+            variables = model.init(jax.random.key(0), ic[:1], mc[:1], None,
+                                   ESTIMATE)
+            _, ups = model.apply(variables, ic, mc, None, ESTIMATE,
+                                 mutable=["quant", "quant_est"])
+            return model, {**variables, **ups}, ic, mc
 
     modes = {}
     if want & set(FP8_MODES):
@@ -84,14 +89,16 @@ def main(argv=None):
             run_method=RunMethodConfig(res_quantizer_flag=True,
                                        original_quantize_res=True),
         )
-        print("init + calibrate (fp8)...", flush=True)
-        model8, vars8 = setup(qc8)
+        print("init + calibrate (fp8, CPU backend)...", flush=True)
+        model8, vars8, ic, mc = setup(qc8)
 
         def cache(model, v, fast):
-            warm = QuantPhase(phase="fixed", fast=fast, cache_weights=True)
-            _, ups = model.apply(v, ids[:2], mask[:2], None, warm,
-                                 mutable=["quant_cache"])
-            return {**v, **ups}
+            with jax.default_device(cpu):
+                warm = QuantPhase(phase="fixed", fast=fast,
+                                  cache_weights=True)
+                _, ups = model.apply(v, ic, mc, None, warm,
+                                     mutable=["quant_cache"])
+                return {**v, **ups}
 
         fast_vars = cache(model8, vars8, True)
         modes["fp32"] = (model8, vars8,
@@ -112,13 +119,14 @@ def main(argv=None):
             act_range=EstimatorConfig(RangeMethod.allminmax),
             run_method=RunMethodConfig(),
         )
-        print("init + calibrate (int8)...", flush=True)
-        modeli, varsi = setup(qci)
-        warm = QuantPhase(phase="fixed", cache_weights=True)
-        _, ups = modeli.apply(varsi, ids[:2], mask[:2], None, warm,
-                              mutable=["quant_cache"])
-        i8_vars, report = pack_dense_caches({**varsi, **ups}, qci)
-        i8_vars = strip_packed_params(i8_vars)
+        print("init + calibrate (int8, CPU backend)...", flush=True)
+        modeli, varsi, ic, mc = setup(qci)
+        with jax.default_device(cpu):
+            warm = QuantPhase(phase="fixed", cache_weights=True)
+            _, ups = modeli.apply(varsi, ic, mc, None, warm,
+                                  mutable=["quant_cache"])
+            i8_vars, report = pack_dense_caches({**varsi, **ups}, qci)
+            i8_vars = strip_packed_params(i8_vars)
         print(f"int8-packed {len(report)} dense layers", flush=True)
         modes["int8"] = (modeli, i8_vars,
                          QuantPhase(phase="fixed", fast=True, packed=True))
@@ -127,6 +135,13 @@ def main(argv=None):
                                        chained=True))
 
     modes = {k: v for k, v in modes.items() if k in want}
+
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        print("transferring variables to device...", flush=True)
+        modes = {k: (m, jax.device_put(v, dev), qp)
+                 for k, (m, v, qp) in modes.items()}
+        jax.block_until_ready([v for _, v, _ in modes.values()])
 
     def builder(model, vs, qp):
         def build(n):

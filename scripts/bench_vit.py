@@ -63,15 +63,23 @@ def main(argv=None):
 
     rng = np.random.default_rng(10)
     b = args.batch_size
-    x = jnp.asarray(rng.normal(size=(b, 224, 224, 3)).astype(np.float32))
+    x_np = rng.normal(size=(b, 224, 224, 3)).astype(np.float32)
+    x = jnp.asarray(x_np)
+    # calibration/caching/packing run on the local CPU backend (estimate
+    # graphs compile 10-80+ min over the tunnel; ranges are correctness-only
+    # inputs to a throughput bench — tests/test_calib_twin.py); the variable
+    # trees transfer to the device once before timing
+    cpu = jax.local_devices(backend="cpu")[0]
 
     def setup(qc):
         model = QuantizedViT(qc=qc)
-        variables = model.init(jax.random.key(0), x[:1], ESTIMATE)
-        _, ups = model.apply(variables, x[:2], ESTIMATE,
-                             mutable=["quant", "quant_est"])
-        variables = {**variables, **ups}
-        return model, variables
+        with jax.default_device(cpu):
+            xc = jnp.asarray(x_np[:2])
+            variables = model.init(jax.random.key(0), xc[:1], ESTIMATE)
+            _, ups = model.apply(variables, xc, ESTIMATE,
+                                 mutable=["quant", "quant_est"])
+            variables = {**variables, **ups}
+            return model, variables, xc
 
     modes = {}  # name -> (model, vars, phase, fused_flag)
 
@@ -87,9 +95,10 @@ def main(argv=None):
                                        original_quantize_res=True),
         )
         print("init + calibrate (fp8)...", flush=True)
-        model8, vars8 = setup(qc8)
-        cached_vars = cache_quantized_weights(model8, vars8, x[:2])
-        fast_vars = cache_quantized_weights(model8, vars8, x[:2], fast=True)
+        model8, vars8, xc = setup(qc8)
+        with jax.default_device(cpu):
+            cached_vars = cache_quantized_weights(model8, vars8, xc)
+            fast_vars = cache_quantized_weights(model8, vars8, xc, fast=True)
         modes["fp32"] = (model8, vars8,
                          QuantPhase(phase="fixed", quant_w=False,
                                     quant_a=False))
@@ -115,13 +124,14 @@ def main(argv=None):
             run_method=RunMethodConfig(res_quantizer_flag=True),
         )
         print("init + calibrate (int8)...", flush=True)
-        modeli, varsi = setup(qci)
-        cached_i = cache_quantized_weights(modeli, varsi, x[:2])
+        modeli, varsi, xc = setup(qci)
         from fp8_quantization_tpu.ops.fastpath import (
             pack_dense_caches, strip_packed_params)
 
-        i8_vars, report = pack_dense_caches(cached_i, qci)
-        i8_vars = strip_packed_params(i8_vars)
+        with jax.default_device(cpu):
+            cached_i = cache_quantized_weights(modeli, varsi, xc)
+            i8_vars, report = pack_dense_caches(cached_i, qci)
+            i8_vars = strip_packed_params(i8_vars)
         print(f"int8-packed {len(report)} dense layers", flush=True)
         modes["int8"] = (modeli, i8_vars,
                          QuantPhase(phase="fixed", fast=True, packed=True))
@@ -140,10 +150,11 @@ def main(argv=None):
             qcn = _dc.replace(qci, run_method=RunMethodConfig())
             print("init + calibrate (int8, reference-default run_method)...",
                   flush=True)
-            modeln, varsn = setup(qcn)
-            cached_n = cache_quantized_weights(modeln, varsn, x[:2])
-            n_vars, report = pack_dense_caches(cached_n, qcn)
-            n_vars = strip_packed_params(n_vars)
+            modeln, varsn, xc = setup(qcn)
+            with jax.default_device(cpu):
+                cached_n = cache_quantized_weights(modeln, varsn, xc)
+                n_vars, report = pack_dense_caches(cached_n, qcn)
+                n_vars = strip_packed_params(n_vars)
             print(f"int8_nores-packed {len(report)} dense layers", flush=True)
             modes["int8_nores"] = (
                 modeln, n_vars,
@@ -154,6 +165,13 @@ def main(argv=None):
                            chained=True))
 
     modes = {k: v for k, v in modes.items() if k in want}
+
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        print("transferring variables to device...", flush=True)
+        modes = {k: (m, jax.device_put(v, dev), qp)
+                 for k, (m, v, qp) in modes.items()}
+        jax.block_until_ready([v for _, v, _ in modes.values()])
 
     def builder(model, vs, qp):
         def build(n):

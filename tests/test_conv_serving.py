@@ -379,3 +379,29 @@ def test_chained_fused_boundary_exact_po2(rng):
     y_pack = np.asarray(model.apply(packed, x, PACKED))
     y_chained = np.asarray(model.apply(packed, x, CHAINED))
     np.testing.assert_array_equal(y_chained, y_pack)
+
+
+def test_fused_boundary_prediction_agreement(rng):
+    """Accuracy guard for the fused boundary: over a 64-sample synthetic
+    batch the CHAINED (fused) MobileNetV2 must predict the same classes as
+    the unfused PACKED path — the +-1-ULP constant-folding deviations may
+    move individual logits by a grid step but must not move decisions on
+    non-degenerate inputs."""
+    from fp8_quantization_tpu.models.mobilenet_v2 import QuantizedMobileNetV2
+
+    qc = _int8_qc(res=False)  # reference-default serving config
+    model = QuantizedMobileNetV2(qc=qc, num_classes=13, input_size=32,
+                                 width_mult=0.25)
+    x = jnp.asarray(rng.normal(size=(64, 32, 32, 3)).astype(np.float32))
+    _, packed, _ = _prepare(model, x[:4], qc)
+    y_pack = np.asarray(model.apply(packed, x, PACKED))
+    y_chained = np.asarray(model.apply(packed, x, CHAINED))
+    agree = y_pack.argmax(-1) == y_chained.argmax(-1)
+    assert agree.mean() >= 0.9, agree.mean()
+    # any flip must be a near-tie: the top1-top2 gap of the unfused logits
+    # within the fused path's numerical deviation budget (random-weight
+    # logits are near-degenerate, so exact ties do occur on synthetic data)
+    dev = np.abs(y_pack - y_chained).max()
+    for i in np.flatnonzero(~agree):
+        top2 = np.sort(y_pack[i])[-2:]
+        assert top2[1] - top2[0] <= 4 * dev, (i, top2, dev)

@@ -297,3 +297,39 @@ def test_sharded_prefix_admission_matches_cold(rng):
     warm = run(make_mesh(data=2, model=4), pc)
     assert warm == cold
     assert pc.misses == 1 and pc.hits == 1
+
+
+def test_sharded_chained_cnn_matches_single_device(rng):
+    """The fused-boundary (Affine) CNN serving mode under a (2, 4) mesh must
+    match single-device execution — the pending-affine folds are elementwise
+    and must partition cleanly under GSPMD."""
+    from fp8_quantization_tpu.eval import cache_quantized_weights
+    from fp8_quantization_tpu.models.mobilenet_v2 import QuantizedMobileNetV2
+    from fp8_quantization_tpu.ops.fastpath import (
+        pack_dense_caches, strip_packed_params)
+    from fp8_quantization_tpu.quant.sites import CHAINED
+
+    qc = _qc_uniform()
+    model = QuantizedMobileNetV2(qc=qc, num_classes=16, input_size=32,
+                                 width_mult=0.25)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.key(0), x[:1], ESTIMATE)
+    _, ups = model.apply(v, x[:2], ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+    v = cache_quantized_weights(model, v, x[:2], fast=True)
+    vp, _ = pack_dense_caches(v, qc)
+    vp = strip_packed_params(vp)
+
+    ref = np.asarray(model.apply(vp, x, CHAINED))
+
+    mesh = make_mesh(data=2, model=4)
+    with mesh:
+        vs = shard_variables(vp, mesh)
+        xs = shard_batch(x, mesh)
+
+        @jax.jit
+        def fwd(v, x):
+            return model.apply(v, x, CHAINED)
+
+        out = np.asarray(fwd(vs, xs))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

@@ -6,6 +6,11 @@ matmul chain — the same slope-timing protocol as bench.py. The v5e MXU runs
 int8 at 2x bf16 FLOPs, so this path is the only one that can beat the bf16
 speed-of-light that bounds the FP8-simulation fast path.
 
+Round 4: chains ROTATE through weight slabs exceeding the 128 MB VMEM
+(int8: 12 x 16 MB; bf16: 6 x 32 MB) so loop-invariant weights cannot stay
+VMEM-resident — same integrity rule as bench.py (earlier readings were
+VMEM-flattered).
+
 Run: python scripts/bench_int8.py [--size 4096]
 """
 
@@ -52,15 +57,13 @@ def main():
     args = ap.parse_args()
     m = k = n = args.size
 
-    wi = jax.jit(lambda: (jax.random.normal(jax.random.key(0), (k, n)) * 30)
-                 .astype(jnp.int8))()
-    w = Int8Weights(
-        codes=wi,
-        scale=jnp.full((n,), 2.0 ** -12, jnp.float32),
-        zp=jnp.full((n,), 128.0, jnp.float32),
-        wsum=jnp.sum(wi.astype(jnp.int32), axis=0),
-    )
-    w16 = wi.astype(jnp.bfloat16)
+    N_I8, N_BF = 12, 6  # slab counts: both stacks exceed the 128 MB VMEM
+    wi = jax.jit(lambda: (jax.random.normal(jax.random.key(0), (N_I8, k, n))
+                          * 30).astype(jnp.int8))()
+    wsum = jnp.sum(wi.astype(jnp.int32), axis=1)          # (S, N)
+    scale = jnp.full((n,), 2.0 ** -12, jnp.float32)
+    zpv = jnp.full((n,), 128.0, jnp.float32)
+    w16 = wi[:N_BF].astype(jnp.bfloat16)
     x = jax.jit(lambda: jax.random.normal(jax.random.key(1), (m, k),
                                           jnp.float32))()
     sx = jnp.float32(2.0 ** -5)
@@ -69,9 +72,16 @@ def main():
 
     def int8_chain(nd):
         @jax.jit
-        def f(x, w):
-            def body(_, acc):
+        def f(x, wi, wsum):
+            def body(i, acc):
+                j = i % N_I8
+                w = Int8Weights(
+                    codes=lax.dynamic_index_in_dim(wi, j, keepdims=False),
+                    scale=scale, zp=zpv,
+                    wsum=lax.dynamic_index_in_dim(wsum, j, keepdims=False))
                 codes, cx = quantize_acts_int8(acc, sx, zp, lo, hi)
+                # symmetric-signed weights: Xsum correction statically
+                # elided, as in the original measurement
                 return quantized_matmul_int8(codes, w, sx, cx)
             return lax.fori_loop(0, nd, body, x).sum()
         return f
@@ -79,14 +89,15 @@ def main():
     def bf16_chain(nd):
         @jax.jit
         def f(x, w16):
-            def body(_, acc):
-                return jnp.dot(acc.astype(jnp.bfloat16), w16,
+            def body(i, acc):
+                w = lax.dynamic_index_in_dim(w16, i % N_BF, keepdims=False)
+                return jnp.dot(acc.astype(jnp.bfloat16), w,
                                preferred_element_type=jnp.float32)
             return lax.fori_loop(0, nd, body, x).sum()
         return f
 
     flops = 2.0 * m * n * k
-    t8 = slope(int8_chain, x, w)
+    t8 = slope(int8_chain, x, wi, wsum)
     t16 = slope(bf16_chain, x, w16)
     print(json.dumps({
         "metric": "int8_quant_matmul_tops",

@@ -27,7 +27,7 @@ from jax import lax
 from _harness import emit_artifact, interleaved_slopes, ratio
 
 FP8_MODES = ("fp32", "fixed", "cached", "fast", "packed")
-INT8_MODES = ("int8", "chained")
+INT8_MODES = ("int8", "chained", "int4", "chained4")
 
 
 def build_model(arch, qc, input_size=224):
@@ -160,6 +160,32 @@ def main(argv=None):
                             QuantPhase(phase="fixed", fast=True, packed=True,
                                        chained=True))
 
+    if want & {"int4", "chained4"}:
+        # w4a8 capacity config: 4-bit nibble-packed conv/dense weights
+        # (0.5 B/weight at rest, unpacked by XLA bit-ops / the fused int4
+        # kernel), 8-bit activation codes
+        qc4 = QuantConfig(
+            method=QMethod.symmetric_uniform,
+            n_bits=4, n_bits_act=8,
+            per_channel_weights=True,
+            quantize_input=True,
+            weight_range=EstimatorConfig(RangeMethod.current_minmax),
+            act_range=EstimatorConfig(RangeMethod.allminmax),
+            run_method=RunMethodConfig(),
+        )
+        print("init + calibrate (int4 w4a8, CPU backend)...", flush=True)
+        model4, calib4, vars4, xc = setup(qc4)
+        with jax.default_device(cpu):
+            cached_4 = cache_quantized_weights(calib4, vars4, xc)
+            i4_vars, report = pack_dense_caches(cached_4, qc4)
+            i4_vars = strip_packed_params(i4_vars)
+        print(f"int4-packed {len(report)} layers", flush=True)
+        modes["int4"] = (model4, i4_vars,
+                         QuantPhase(phase="fixed", fast=True, packed=True))
+        modes["chained4"] = (model4, i4_vars,
+                             QuantPhase(phase="fixed", fast=True, packed=True,
+                                        chained=True))
+
     modes = {k: v for k, v in modes.items() if k in want}
 
     # one-time transfer of each mode's CPU-built variables to the timed
@@ -205,6 +231,8 @@ def main(argv=None):
         ("fast", "int8", "int8_vs_fast"),
         ("fast", "chained", "chained_vs_fast"),
         ("int8", "chained", "chained_vs_int8"),
+        ("fast", "chained4", "chained4_vs_fast"),
+        ("chained", "chained4", "chained4_vs_chained"),
         ("fixed", "fast", "fast_vs_fixed"),
     ]:
         med, spread = ratio(results, num, den)

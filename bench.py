@@ -51,7 +51,12 @@ from fp8_quantization_tpu.numerics import quantize_to_fp8_ste
 from fp8_quantization_tpu.ops.fastpath import ScalarQuantParams, quantized_matmul
 
 M = N = K = 4096
-DEPTHS = (4, 20)
+# CLAUDE.md floor: (n1-n0) * per-iter >= 50 ms. At 4096^3 the bf16 chain
+# runs ~0.7 ms/iter and the int8 chain ~0.36 ms/iter, so the differential
+# needs >= ~140 iters — the old (4, 20) depths left an 11 ms differential
+# that the tunnel's early-acked readbacks could fake into >1.0 MFU slopes
+# (caught by the r4 integrity assert).
+DEPTHS = (4, 144)
 TRIALS = 9
 N_W16 = 6    # 6 x 32 MB bf16 weight slabs  = 192 MB > 128 MB VMEM
 N_WI8 = 12   # 12 x 16 MB int8 weight slabs = 192 MB > 128 MB VMEM

@@ -111,8 +111,8 @@ class Int8Weights(NamedTuple):
     """Frozen uniform-quantized weights as native int8 codes.
 
     Measured on the v5e (r4 memory-honest bench — weight slabs rotated past
-    VMEM): the int8 chain runs at 345.7 TOP/s (0.878 MFU) = 1.85x the bf16
-    matmul chain, AND is ~4 orders of magnitude closer to the f64 oracle
+    VMEM, 50 ms slope floor): the int8 chain runs at 365.6 TOP/s (0.928
+    MFU) = 1.97x the bf16 matmul chain, AND is ~4 orders of magnitude closer to the f64 oracle
     than the simulated path — uniform-grid values are not bf16-exact, so the
     simulation's f32 dot (which rides the bf16 MXU) truncates its operands,
     while the int8 dot accumulates the true integer codes exactly.

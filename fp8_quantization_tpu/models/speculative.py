@@ -100,7 +100,18 @@ class SpeculativeDecoder:
                  k: int = 4, max_seq: Optional[int] = None,
                  qp: QuantPhase = FIXED, draft_qp: Optional[QuantPhase] = None,
                  eos_token: int = -1, sampling: SamplingParams = GREEDY,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """``mesh``: optional (data, model) ``jax.sharding.Mesh`` — target
+        and draft variables shard per ``parallel.sharding`` rules and every
+        jitted step traces under ``partitioned_kernels`` so packed/int4
+        weight kernels tensor-parallelize (same convenience the
+        ``ContinuousBatcher`` offers)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import shard_variables
+
+            variables = shard_variables(variables, mesh)
+            draft_variables = shard_variables(draft_variables, mesh)
         self.model, self.variables, self.spec = model, variables, spec
         self.draft = draft_model
         self.draft_variables = draft_variables
@@ -188,10 +199,22 @@ class SpeculativeDecoder:
             out, m = spec_accept(drafts, q_rows, p_rows, u, kr)
             return out, m, cache
 
-        self._propose = draft_propose
-        self._verify = verify
-        self._propose_stochastic = draft_propose_stochastic
-        self._verify_stochastic = verify_stochastic
+        def _partitioned(fn):
+            # trace-time context (see serving.ContinuousBatcher._partitioned)
+            if mesh is None:
+                return fn
+            from ..parallel.shard_kernels import partitioned_kernels
+
+            def wrapped(*a, **kw):
+                with partitioned_kernels(mesh):
+                    return fn(*a, **kw)
+
+            return wrapped
+
+        self._propose = _partitioned(draft_propose)
+        self._verify = _partitioned(verify)
+        self._propose_stochastic = _partitioned(draft_propose_stochastic)
+        self._verify_stochastic = _partitioned(verify_stochastic)
         self._prefill_jit = {}
 
     def _next_key(self):
@@ -223,6 +246,16 @@ class SpeculativeDecoder:
                 else:
                     tok = jnp.argmax(row).astype(jnp.int32)
                 return tok, cache
+
+            if self.mesh is not None:
+                from ..parallel.shard_kernels import partitioned_kernels
+
+                inner = prefill
+                mesh = self.mesh
+
+                def prefill(*a, _inner=inner, _mesh=mesh):
+                    with partitioned_kernels(_mesh):
+                        return _inner(*a)
 
             self._prefill_jit[key] = prefill
         cache = KVCache.zeros(

@@ -261,8 +261,10 @@ def test_sharded_speculative_decode_matches_single_device(rng):
             dec = SpeculativeDecoder(model, v, spec, model, v, spec, k=3)
             return dec.generate(prompt, max_new_tokens=8)[0]
         with mesh:
-            vs = shard_variables(v, mesh)
-            dec = SpeculativeDecoder(model, vs, spec, model, vs, spec, k=3)
+            # the mesh kwarg shards both variable trees and traces every
+            # step under partitioned_kernels (packed drafts TP-partition)
+            dec = SpeculativeDecoder(model, v, spec, model, v, spec, k=3,
+                                     mesh=mesh)
             return dec.generate(prompt, max_new_tokens=8)[0]
 
     want = run(None)

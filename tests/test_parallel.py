@@ -1,5 +1,7 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh."""
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,6 +292,72 @@ def test_sharded_prefix_admission_matches_cold(rng):
         out = []
         for p in prompts:
             s = b.admit(p, max_new_tokens=6)
+            b.run_to_completion()
+            out.append(b.retire(s))
+        return out
+
+    cold = run(None, None)
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = run(make_mesh(data=2, model=4), pc)
+    assert warm == cold
+    assert pc.misses == 1 and pc.hits == 1
+
+
+def test_sharded_stochastic_speculative_matches_single_device(rng):
+    """Stochastic speculative decoding (temperature/top-k accept-reject,
+    spec_accept residual resampling) under a model-sharded mesh must emit the
+    exact single-device token sequence: the PRNG key schedule is host-side
+    and deterministic, so any divergence is a sharding bug in the filtered
+    distributions or the cache rollback."""
+    from fp8_quantization_tpu.models.sampling import SamplingParams
+    from fp8_quantization_tpu.models.speculative import SpeculativeDecoder
+
+    spec, model, v = _llama_parts(rng)
+    prompt = [3, 1, 4, 1, 5]
+    sp = SamplingParams(temperature=0.8, top_k=16)
+
+    def run(mesh):
+        kw = {} if mesh is None else {"mesh": mesh}
+        ctx = contextlib.nullcontext() if mesh is None else mesh
+        with ctx:
+            dec = SpeculativeDecoder(model, v, spec, model, v, spec, k=3,
+                                     sampling=sp, seed=7, **kw)
+            return dec.generate(prompt, max_new_tokens=8)[0]
+
+    want = run(None)
+    got = run(make_mesh(data=1, model=8))
+    assert got == want
+
+
+def test_sharded_prefix_admission_packed_kv(rng):
+    """Warm prefix admission with a PACKED (uint8-code) KV cache under a
+    mesh: the byte slabs splice through the sharded dynamic_update_slice
+    path unchanged, and tokens match the cold single-device run."""
+    from fp8_quantization_tpu.models.llama import (
+        KVCache, LlamaSpec, QuantizedLlama)
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+
+    spec = LlamaSpec(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                     num_kv_heads=2, mlp_dim=64, max_seq_len=64)
+    model = QuantizedLlama(qc=_qc(), spec=spec, packed_kv=True)
+    toks = jnp.asarray(rng.integers(0, 64, size=(1, 10)), jnp.int32)
+    cache = KVCache.zeros(spec, 1, spec.max_seq_len, dtype=jnp.uint8)
+    v = model.init(jax.random.key(0), toks, cache, ESTIMATE)
+    _, ups = model.apply(v, toks, cache, ESTIMATE,
+                         mutable=["quant", "quant_est"])
+    v = {**v, **ups}
+
+    shared = list(rng.integers(0, 64, size=16))
+    prompts = [shared + [1, 2], shared + [3]]
+
+    def run(mesh, pc):
+        b = ContinuousBatcher(model, v, spec, slots=2,
+                              max_seq=spec.max_seq_len, mesh=mesh,
+                              prefix_cache=pc)
+        out = []
+        for p in prompts:
+            s = b.admit(p, max_new_tokens=5)
             b.run_to_completion()
             out.append(b.retire(s))
         return out

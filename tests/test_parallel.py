@@ -232,7 +232,7 @@ def test_partitioned_kernel_hlo_has_no_code_gather(rng):
 _LSPEC = None
 
 
-def _llama_parts(rng):
+def _llama_parts(rng, init_key: int = 0):
     from fp8_quantization_tpu.models.llama import (
         KVCache, LlamaSpec, QuantizedLlama)
 
@@ -242,7 +242,7 @@ def _llama_parts(rng):
     toks = jnp.asarray(rng.integers(0, spec.vocab_size, size=(1, 10)),
                        jnp.int32)
     cache = KVCache.zeros(spec, 1, spec.max_seq_len)
-    v = model.init(jax.random.key(0), toks, cache, ESTIMATE)
+    v = model.init(jax.random.key(init_key), toks, cache, ESTIMATE)
     _, ups = model.apply(v, toks, cache, ESTIMATE,
                          mutable=["quant", "quant_est"])
     return spec, model, {**v, **ups}
@@ -308,11 +308,20 @@ def test_sharded_stochastic_speculative_matches_single_device(rng):
     spec_accept residual resampling) under a model-sharded mesh must emit the
     exact single-device token sequence: the PRNG key schedule is host-side
     and deterministic, so any divergence is a sharding bug in the filtered
-    distributions or the cache rollback."""
+    distributions or the cache rollback.
+
+    The draft is a DIFFERENTLY-initialized model (init key 1), so its
+    filtered distributions genuinely diverge from the target's and the
+    rejection / residual-resampling / rollback branches execute under the
+    mesh — a self-draft would accept every proposal (min(1, p/q) == 1,
+    test_speculative_sampling.py::test_self_draft_accepts_everything) and
+    leave the reject path untested (ADVICE r4 #1). The stats assertion
+    proves rejections actually happened in both runs."""
     from fp8_quantization_tpu.models.sampling import SamplingParams
     from fp8_quantization_tpu.models.speculative import SpeculativeDecoder
 
     spec, model, v = _llama_parts(rng)
+    _, _, dv = _llama_parts(rng, init_key=1)
     prompt = [3, 1, 4, 1, 5]
     sp = SamplingParams(temperature=0.8, top_k=16)
 
@@ -320,9 +329,13 @@ def test_sharded_stochastic_speculative_matches_single_device(rng):
         kw = {} if mesh is None else {"mesh": mesh}
         ctx = contextlib.nullcontext() if mesh is None else mesh
         with ctx:
-            dec = SpeculativeDecoder(model, v, spec, model, v, spec, k=3,
+            dec = SpeculativeDecoder(model, v, spec, model, dv, spec, k=3,
                                      sampling=sp, seed=7, **kw)
-            return dec.generate(prompt, max_new_tokens=8)[0]
+            toks, stats = dec.generate(prompt, max_new_tokens=8)
+            # the reject/resample path must actually run for this test to
+            # pin anything about it
+            assert stats.accepted < stats.proposed, stats
+            return toks
 
     want = run(None)
     got = run(make_mesh(data=1, model=8))

@@ -82,6 +82,51 @@ def quantize_to_fp8_ste(x_float, n_bits: int, maxval, mantissa_bits, sign_bits: 
     return result, bias
 
 
+def quantize_to_fp8_ste_affine(x_raw, a_scale, a_bias, lo, hi, n_bits: int,
+                               maxval, mantissa_bits, sign_bits):
+    """Fold a pending per-channel affine + clamp into the FP8 fake-quantize
+    (the fused-boundary serving currency for FP sites, VERDICT r4 next #6).
+
+    Value-equal to ``quantize_to_fp8_ste(clip(x*a_scale + a_bias, lo, hi),
+    ...)`` with the clamp merged into the quantizer's own
+    ``[minval, maxval]`` clip: 2 elementwise ops (mul, add) plus the
+    quantizer's clip replace the decode's separate mul/add/max/min — and the
+    producer's BN cost 0 elementwise ops (it rode the affine). The merge is
+    bit-exact because the bound intervals overlap for every clamp in
+    ``CLAMP_ACTIVATIONS`` (lo <= maxval and hi >= minval), where
+    ``clip(clip(v, lo, hi), minval, maxval) ==
+    clip(v, max(lo, minval), min(hi, maxval))``.
+
+    ``a_scale``/``a_bias`` broadcast on the LAST axis (the :class:`Affine`
+    contract); ``maxval`` is the per-tensor ``(1,)`` state (per-channel FP
+    act sites decode instead — their maxval broadcasts on the FIRST axis,
+    which would fight the affine's last-axis constants).
+    """
+    x_raw = jnp.asarray(x_raw, jnp.float32)
+    maxval = jnp.asarray(maxval, jnp.float32)
+    mantissa_bits = jnp.asarray(mantissa_bits, jnp.float32)
+    sign_b = jnp.asarray(sign_bits, jnp.float32)
+
+    M = jnp.clip(round_ste(mantissa_bits), 1, n_bits - sign_b)
+    E = n_bits - sign_b - M
+    bias = jnp.round(2.0**E - jnp.log2(maxval) + jnp.log2(2 - 2.0 ** (-M)) - 1)
+
+    minval = jnp.where(sign_b == 1, -maxval, jnp.zeros_like(maxval))
+    lo_eff = minval if lo is None else jnp.maximum(minval, lo)
+    hi_eff = maxval if hi is None else jnp.minimum(maxval, hi)
+
+    v = x_raw * jnp.asarray(a_scale, jnp.float32) + jnp.asarray(
+        a_bias, jnp.float32)
+    xc = jnp.minimum(jnp.maximum(v, lo_eff), hi_eff)
+
+    bits = lax.bitcast_convert_type(lax.stop_gradient(xc), jnp.int32)
+    e_ieee = (jnp.right_shift(bits, 23) & 0xFF) - 127
+    log_scales = jnp.maximum(e_ieee.astype(bias.dtype) + bias, 1.0)
+    scales = exp2_exact(log_scales - M - bias)
+    result = round_ste(xc / scales) * scales
+    return result, bias
+
+
 def fp8_grid(num_total_bits: int = 8, num_exponent_bits: int = 4, bias: int = 8) -> np.ndarray:
     """Enumerate every representable value of the format, sorted ascending.
 

@@ -172,6 +172,18 @@ class _QuantOpBase(nn.Module):
             x, a_bias = sites.act(x, qp, with_bias=True)
         return x, a_bias
 
+    def _defer_affine(self, x, qp: QuantPhase):
+        """Keep a pending :class:`Affine` input un-materialized when this
+        layer's input act site will fold it (the uniform integer fold or the
+        FP8 clip fold, VERDICT r4 next #6); decode otherwise. Coded/CodedFP
+        inputs always materialize here (XLA fuses the byte decode into the
+        consuming op)."""
+        from ..quant.sites import Affine
+
+        if isinstance(x, Affine) and self.qc.quantize_input and qp.quant_a:
+            return x
+        return decoded(x)
+
     def _quant_weight(self, sites: _Sites, kernel, qp: QuantPhase):
         if not qp.quant_w:
             return kernel, None
@@ -381,17 +393,18 @@ class QuantDense(_QuantOpBase):
             chain_in = (self.qc.quantize_input and qp.quant_a
                         and codes_eligible(acfg, qp))
             if chain_in:
-                # chained FP8: re-quantize the (decoded) input on this
-                # layer's act grid AND emit it as 1-byte codes — the kernel
-                # decodes the uint8 tile in VMEM, so the x boundary read
-                # stays 1 B/element (an f32/bf16 x would have to materialize
-                # in HBM before the pallas_call; XLA cannot fuse into it)
-                xa = sites.act(decoded(x), qp, as_codes=True)
+                # chained FP8: re-quantize the input on this layer's act
+                # grid AND emit it as 1-byte codes — the kernel decodes the
+                # uint8 tile in VMEM, so the x boundary read stays
+                # 1 B/element (an f32/bf16 x would have to materialize in
+                # HBM before the pallas_call; XLA cannot fuse into it).
+                # Coded/CodedFP/Affine inputs fold inside the site.
+                xa = sites.act(x, qp, as_codes=True)
                 x2d = xa.codes.reshape(-1, k_in)
                 xkw = dict(x_bias=xa.bias, x_expo=xa.expo_width,
                            x_mant=xa.mant_width)
             else:
-                x = decoded(x)
+                x = self._defer_affine(x, qp)
                 x, _ = self._quant_in(sites, x, qp)
                 x2d = x.reshape(-1, k_in).astype(jnp.bfloat16)
                 xkw = {}
@@ -409,10 +422,11 @@ class QuantDense(_QuantOpBase):
                 res = sites.res(res, qp, as_codes=codes_eligible(acfg, qp)
                                 and not self.bn_follows)
             return res
-        x = decoded(x)
+        x = self._defer_affine(x, qp)
 
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+            "kernel", nn.initializers.lecun_normal(),
+            (coded_shape(x)[-1], self.features)
         )
         bias = (
             self.param("bias", nn.initializers.zeros_init(), (self.features,))
@@ -619,8 +633,10 @@ class QuantConv(_QuantOpBase):
         res_i8 = self._conv_int8(sites, x, qp)
         if res_i8 is not None:
             return res_i8
-        x = decoded(x)  # chained codes: inline dequant (1 B/element read)
-        in_ch = x.shape[-1]
+        # chained codes: inline dequant (1 B/element read); a pending Affine
+        # stays pending when the input act site can fold it (FP8 serving)
+        x = self._defer_affine(x, qp)
+        in_ch = coded_shape(x)[-1]
         ksize = tuple(self.kernel_size)
         _, dilation = self._spatial_defaults()
         window_strides, padding, input_dilation = self._conv_plan(x)
@@ -854,12 +870,19 @@ def _unfolded_bn(module: _QuantOpBase, res, qp: QuantPhase, epsilon: float):
         "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
     )
 
-    if isinstance(res, Affine) and not qp.reestimate_bn:
+    if not qp.reestimate_bn and (isinstance(res, Affine) or qp.chained):
         # fused boundary (qp.chained): inference BN is per-channel affine —
         # fold it onto the pending Affine as O(C) vector math instead of 4
-        # tensor ops (value identical up to f32 constant-folding ULPs)
+        # tensor ops (value identical up to f32 constant-folding ULPs).
+        # When the conv result arrived as a plain tensor (the FP8/simulated
+        # chained path — no int8 producer), BN leaves as a NEW pending
+        # Affine costing 0 elementwise ops; the clamp activation and the
+        # next layer's act site fold it (VERDICT r4 next #6)
         rg = lax.rsqrt(running_var.value + epsilon) * gamma
-        return res.then_affine(rg, beta - running_mean.value * rg)
+        rb = beta - running_mean.value * rg
+        if isinstance(res, Affine):
+            return res.then_affine(rg, rb)
+        return Affine(decoded(res), rg, rb)
 
     res = decoded(res)  # defensive: BN math needs materialized floats
     if res.dtype != jnp.float32:
@@ -948,7 +971,9 @@ class QuantizedActWrapper(nn.Module):
             name="activation_quantizer",
         )
         if self.tie_input_output and qp.quant_a:
-            x = site(x, qp)
+            x = site(x, qp)  # folds a pending Affine input (FP8/uniform)
+        else:
+            x = decoded(x)  # the wrapped op needs materialized values
         y = self.op(x)
         if qp.quant_a:
             y = site(y, qp)

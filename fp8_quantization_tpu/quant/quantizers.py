@@ -72,6 +72,22 @@ def fp_apply(cfg: QuantizerConfig, state: QuantState, x, channel_axis: int = 0
     )
 
 
+def fp_apply_affine(cfg: QuantizerConfig, state: QuantState, aff,
+                    channel_axis: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Quantize a pending-:class:`~..quant.sites.Affine` value, folding the
+    affine + clamp into the FP8 clip (VERDICT r4 next #6 — the FP analog of
+    ``fold_quantize_affine``). Per-tensor sites only (the affine's constants
+    ride the last axis; a per-channel maxval broadcasts on ``channel_axis``
+    and would fight them — callers decode instead)."""
+    from ..numerics.fp8_ste import quantize_to_fp8_ste_affine
+
+    assert not cfg.per_channel
+    return quantize_to_fp8_ste_affine(
+        aff.x, aff.scale, aff.bias, aff.lo, aff.hi,
+        cfg.n_bits, state["maxval"], state["mantissa_bits"],
+        state["sign_bits"])
+
+
 def fp_bias(cfg: QuantizerConfig, state: QuantState) -> jnp.ndarray:
     """Derived exponent bias without quantizing data (manager ``get_fp_bias``,
     quantization_manager.py:124-125)."""

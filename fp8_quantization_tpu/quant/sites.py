@@ -296,12 +296,20 @@ class QuantSite(nn.Module):
         (``value = x_int*s - zp*s``) — downstream affine stages (BN) fold
         into it instead of materializing. Per-tensor uniform, fixed phase.
         """
+        pending_aff = None
         if isinstance(x, Affine):
             # fused-boundary input: fold the pending affine+clamp into this
             # site's quantization when the grid is frozen per-tensor uniform
-            if (qp.estimating or self.qcfg.per_channel
-                    or self.qcfg.method == QMethod.fp_quantizer):
+            if qp.estimating or self.qcfg.per_channel:
                 x = decoded(x)
+            elif self.qcfg.method == QMethod.fp_quantizer:
+                # FP8 fused boundary (VERDICT r4 next #6): keep the affine
+                # pending — it folds into the FP8 quantize's clip below
+                # (``fp_apply_affine``), so the producer's BN + clamp cost
+                # 2 elementwise ops here instead of the decode's 4 plus the
+                # separate quantizer clip
+                pending_aff = x
+                x = x.x
             else:
                 s, zp, lo_i, hi_i = self.uniform_int_params()
                 x_int = fold_quantize_affine(x, s[0], zp[0], lo_i[0], hi_i[0])
@@ -371,7 +379,12 @@ class QuantSite(nn.Module):
                 estate.value = new_est
 
         if self.qcfg.method == QMethod.fp_quantizer:
-            y, bias = quantizers.fp_apply(self.qcfg, q, x, self.channel_axis)
+            if pending_aff is not None:
+                y, bias = quantizers.fp_apply_affine(
+                    self.qcfg, q, pending_aff.replace(x=x), self.channel_axis)
+            else:
+                y, bias = quantizers.fp_apply(self.qcfg, q, x,
+                                              self.channel_axis)
             if fp_codes:
                 # chained FP8 serving: emit the STE-grid values as 1-byte
                 # ExMy codes on the safe packing bias — the layer's output

@@ -405,3 +405,94 @@ def test_fused_boundary_prediction_agreement(rng):
     for i in np.flatnonzero(~agree):
         top2 = np.sort(y_pack[i])[-2:]
         assert top2[1] - top2[0] <= 4 * dev, (i, top2, dev)
+
+
+def test_fp8_chained_fused_boundary_exact_po2(rng):
+    """FP8 analog of the uniform po2 fused-boundary test (VERDICT r4 next
+    #6): two stacked BN convs under the FP quantizer with every maxval/stat
+    forced to a power of two — the CHAINED apply (BN rides out as a pending
+    Affine, clamp + next act site fold into one FP8 clip) must equal the
+    unfused PACKED apply BIT-FOR-BIT (po2 constants make the BN distribute
+    exact, and the clip merge is exact unconditionally)."""
+    import flax
+    import flax.linen as fnn
+
+    import jax as _jax
+    from fp8_quantization_tpu.ops.activations import relu6
+
+    qc = _fp8_qc()
+
+    class TwoConv(fnn.Module):
+        qc: QuantConfig
+
+        @fnn.compact
+        def __call__(self, x, qp):
+            y = BNQuantConv(qc=self.qc, features=8, kernel_size=(3, 3),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            activation=relu6, name="conv1")(x, qp)
+            y = BNQuantConv(qc=self.qc, features=8, kernel_size=(3, 3),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            activation=fnn.relu, name="conv2")(y, qp)
+            from fp8_quantization_tpu.quant.sites import decoded as _dec
+
+            return _dec(y)
+
+    def po2ize(tree):
+        def fix(path, v):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            v = np.asarray(v)
+            if name == "maxval":
+                return jnp.asarray(2.0 ** np.ceil(np.log2(np.abs(v) + 1e-30)),
+                                   jnp.float32)
+            if name in ("gamma", "mean"):
+                return jnp.asarray(
+                    np.sign(v) * 2.0 ** np.round(np.log2(np.abs(v) + 2e-2)),
+                    jnp.float32)
+            if name == "beta":
+                return jnp.asarray(np.round(v * 8) / 8.0, jnp.float32)
+            if name == "var":
+                return jnp.asarray(
+                    2.0 ** np.round(np.log2(v + 1e-5)) - 1e-5, jnp.float32)
+            return jnp.asarray(v)
+
+        return _jax.tree_util.tree_map_with_path(fix, tree)
+
+    model = TwoConv(qc=qc)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, ESTIMATE)
+    _, ups = model.apply(variables, x, ESTIMATE, mutable=["quant", "quant_est"])
+    v = {**variables, **ups}
+    v = flax.core.unfreeze(v)
+    v["quant"] = po2ize(v["quant"])
+    v["batch_stats"] = po2ize(v["batch_stats"])
+    cache_qp = QuantPhase(phase="fixed", cache_weights=True)
+    _, ups = model.apply(v, x, cache_qp, mutable=["quant_cache"])
+    v = {**v, **ups}
+    packed, _ = pack_dense_caches(v, qc)
+
+    y_pack = np.asarray(model.apply(packed, x, PACKED))
+    y_chained = np.asarray(model.apply(packed, x, CHAINED))
+    np.testing.assert_array_equal(y_chained, y_pack)
+
+
+def test_mobilenet_fp8_chained_e2e(rng):
+    """MobileNetV2 under the canonical FP8 config (the reference's
+    scripts/image_net.sh flag family): CHAINED (BN/clamp ride pending
+    Affines into the FP8 act-site clip) must track the unfused PACKED path
+    within the fused-boundary deviation budget and agree on predictions."""
+    from fp8_quantization_tpu.models.mobilenet_v2 import QuantizedMobileNetV2
+
+    qc = _fp8_qc()
+    model = QuantizedMobileNetV2(qc=qc, num_classes=13, input_size=32,
+                                 width_mult=0.25)
+    x = jnp.asarray(rng.normal(size=(16, 32, 32, 3)).astype(np.float32))
+    _, packed, _ = _prepare(model, x[:4], qc)
+    y_pack = np.asarray(model.apply(packed, x, PACKED))
+    y_chained = np.asarray(model.apply(packed, x, CHAINED))
+    np.testing.assert_allclose(y_chained, y_pack, rtol=5e-3, atol=5e-3)
+    agree = y_pack.argmax(-1) == y_chained.argmax(-1)
+    assert agree.mean() >= 0.9, agree.mean()
+    dev = np.abs(y_pack - y_chained).max()
+    for i in np.flatnonzero(~agree):
+        top2 = np.sort(y_pack[i])[-2:]
+        assert top2[1] - top2[0] <= 4 * dev, (i, top2, dev)

@@ -92,3 +92,37 @@ def test_bias_formula():
     _, bias = quantize_to_fp8_ste(jnp.asarray([1.0]), 8, maxval, 3.0, 1)
     expected = round(2**4 - np.log2(448.0) + np.log2(2 - 2.0**-3) - 1)
     assert float(bias[0]) == expected
+
+
+@pytest.mark.parametrize("clamp", [(None, None), (0.0, None), (0.0, 6.0),
+                                   (-1.0, 1.0)])
+def test_affine_fold_bit_exact(clamp):
+    """The fused affine+clamp FP8 quantize (``quantize_to_fp8_ste_affine``,
+    the FP fused-boundary currency) must be BIT-IDENTICAL to decoding the
+    affine sequentially and quantizing: same v = x*s + b rounding, and the
+    clamp merges into the quantizer clip exactly because the bound
+    intervals overlap (lo <= maxval, hi >= minval)."""
+    from fp8_quantization_tpu.numerics.fp8_ste import quantize_to_fp8_ste_affine
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 7, 16)).astype(np.float32))
+    scale = jnp.asarray(np.abs(rng.normal(size=(16,))).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    maxval = jnp.asarray([2.5], jnp.float32)
+    lo, hi = clamp
+
+    # sequential: decode (v = x*s + b, clamp) then quantize
+    v = x * scale + bias
+    if lo is not None:
+        v = jnp.maximum(v, lo)
+    if hi is not None:
+        v = jnp.minimum(v, hi)
+    want, want_b = quantize_to_fp8_ste(v, 8, maxval, 3.0, 1)
+
+    got, got_b = quantize_to_fp8_ste_affine(
+        x, scale, bias,
+        None if lo is None else jnp.float32(lo),
+        None if hi is None else jnp.float32(hi),
+        8, maxval, jnp.asarray(3.0), 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(want_b))

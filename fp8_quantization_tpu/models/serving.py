@@ -34,13 +34,28 @@ class ContinuousBatcher:
                  max_seq: Optional[int] = None, eos_token: int = -1,
                  qp: QuantPhase = FIXED, mesh=None,
                  sampling: SamplingParams = GREEDY, seed: int = 0,
-                 prefix_cache=None):
+                 prefix_cache=None, draft_model=None, draft_variables=None,
+                 draft_spec: Optional[LlamaSpec] = None, spec_k: int = 4,
+                 draft_qp: Optional[QuantPhase] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` with (data, model) axes —
         SURVEY §7 build order #8 ("continuous batching across hosts"): slots
         shard over ``data``, weights/per-channel quant params over ``model``
         (parallel/sharding.py rules), and every decode step stays ONE
         fixed-shape GSPMD program over the whole mesh. Requires
-        ``slots % data == 0``."""
+        ``slots % data == 0``.
+
+        ``draft_model``/``draft_variables``/``draft_spec``: optional draft
+        for BATCHED speculative decoding (VERDICT r4 next #3 — the composed
+        serving stack): every :meth:`step` then runs ``spec_k`` draft
+        proposals per live slot as one fixed-shape scan plus ONE
+        (slots, k+1)-token target verify, advancing each slot by 1..k+1
+        tokens with per-slot rollback (``length`` masking — rejected
+        positions become dead data exactly like idle-slot writes). Greedy
+        sampling stays token-identical to the non-speculative batcher;
+        stochastic sampling keeps the :func:`~.speculative.spec_accept`
+        exact-target-distribution guarantee per slot (vmapped). Composes
+        with ``prefix_cache`` (target warm-splices; the draft cold-prefills
+        its own cache) and with packed (uint8) KV on either model."""
         self.model = model
         self.spec = spec
         self.slots = slots
@@ -48,11 +63,22 @@ class ContinuousBatcher:
         self.eos_token = eos_token
         self.qp = qp
         self.mesh = mesh
+        self.draft = draft_model
+        self.draft_spec = draft_spec
+        self.draft_qp = draft_qp or qp
+        self.spec_k = spec_k
+        self.proposed = 0   # speculative telemetry (SpecStats analog)
+        self.accepted = 0
 
-        cache = KVCache.zeros(
-            spec, slots, self.max_seq,
-            dtype=jnp.uint8 if getattr(model, "packed_kv", False)
-            else jnp.bfloat16)
+        def _slot_cache(m, sp):
+            return KVCache.zeros(
+                sp, slots, self.max_seq,
+                dtype=jnp.uint8 if getattr(m, "packed_kv", False)
+                else jnp.bfloat16)
+
+        cache = _slot_cache(model, spec)
+        d_cache = (_slot_cache(draft_model, draft_spec)
+                   if draft_model is not None else None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -64,17 +90,27 @@ class ContinuousBatcher:
                     f"({mesh.shape['data']})"
                 )
             variables = shard_variables(variables, mesh)
-            kv_spec = P(None, "data", None,
-                        "model" if spec.num_kv_heads % mesh.shape["model"] == 0
-                        else None, None)
-            cache = KVCache(
-                k=jax.device_put(cache.k, NamedSharding(mesh, kv_spec)),
-                v=jax.device_put(cache.v, NamedSharding(mesh, kv_spec)),
-                length=jax.device_put(cache.length,
-                                      NamedSharding(mesh, P("data"))),
-            )
+
+            def _shard_cache(c, sp):
+                kv_spec = P(None, "data", None,
+                            "model"
+                            if sp.num_kv_heads % mesh.shape["model"] == 0
+                            else None, None)
+                return KVCache(
+                    k=jax.device_put(c.k, NamedSharding(mesh, kv_spec)),
+                    v=jax.device_put(c.v, NamedSharding(mesh, kv_spec)),
+                    length=jax.device_put(c.length,
+                                          NamedSharding(mesh, P("data"))),
+                )
+
+            cache = _shard_cache(cache, spec)
+            if draft_model is not None:
+                draft_variables = shard_variables(draft_variables, mesh)
+                d_cache = _shard_cache(d_cache, draft_spec)
         self.variables = variables
         self.cache = cache
+        self.draft_variables = draft_variables
+        self.draft_cache = d_cache
         self.free: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
         self.sampling = sampling
@@ -103,6 +139,8 @@ class ContinuousBatcher:
             return sample_tokens(logits[:, -1, :], sampling, key), new_cache
 
         self._decode = decode_step
+        if draft_model is not None:
+            self._spec_step = self._build_spec_step()
         self._prefill_cache = {}
 
     def _partitioned(self, fn):
@@ -122,13 +160,99 @@ class ContinuousBatcher:
 
         return wrapped
 
+    def _build_spec_step(self):
+        """Compile the batched speculative round: a fixed-(k+1)-step draft
+        scan over ALL slots plus one (slots, k+1)-token target verify, with
+        per-slot accept/rollback inside the jit (VERDICT r4 next #3). The
+        per-slot semantics are exactly ``SpeculativeDecoder``'s
+        (models/speculative.py): greedy = longest-matching-prefix (output
+        token-identical to the target's own greedy decode), stochastic =
+        vmapped :func:`~.speculative.spec_accept` (exact target ancestral
+        sampling per slot). The draft scan runs k+1 steps so the last
+        proposal's KV is written (fully-accepted rounds would otherwise
+        attend an all-zero row later)."""
+        import functools
+
+        from jax import lax
+
+        from .sampling import filtered_probs
+        from .speculative import spec_accept
+
+        model, qp, sampling = self.model, self.qp, self.sampling
+        draft_model, draft_qp = self.draft, self.draft_qp
+        k_ = self.spec_k
+        stochastic = not sampling.greedy
+
+        @self._partitioned
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def spec_step(tvars, dvars, t_cache, d_cache, tokens_cur, keep, key):
+            b = tokens_cur.shape[0]
+            kd, kv = jax.random.split(key)
+            dkeys = jax.random.split(kd, k_ + 1)
+
+            def dstep(carry, skey):
+                cache, tok = carry
+                logits, cache = draft_model.apply(dvars, tok[:, None], cache,
+                                                  draft_qp)
+                row = logits[:, -1, :]
+                if stochastic:
+                    q_row = filtered_probs(row, sampling)
+                    nxt = jax.random.categorical(
+                        skey, jnp.log(jnp.maximum(q_row, 1e-30)), axis=-1
+                    ).astype(jnp.int32)
+                else:
+                    q_row = jnp.zeros((b, 0), jnp.float32)
+                    nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+                return (cache, nxt), (nxt, q_row)
+
+            (d_cache, _), (toks, q_rows) = lax.scan(
+                dstep, (d_cache, tokens_cur), dkeys)
+            drafts = toks[:k_].T                                  # (B, k)
+
+            tokens = jnp.concatenate([tokens_cur[:, None], drafts], axis=1)
+            logits, t_cache = model.apply(tvars, tokens, t_cache, qp)
+
+            if stochastic:
+                p_rows = filtered_probs(logits, sampling)      # (B, k+1, V)
+                q_bkv = jnp.moveaxis(q_rows[:k_], 0, 1)        # (B, k, V)
+                ku, kr = jax.random.split(kv)
+                u = jax.random.uniform(ku, (b, k_))
+                rkeys = jax.random.split(kr, b)
+                emitted, m = jax.vmap(spec_accept)(drafts, q_bkv, p_rows, u,
+                                                   rkeys)
+            else:
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = drafts == greedy[:, :-1]
+                m = jnp.argmin(jnp.concatenate(
+                    [match, jnp.zeros((b, 1), bool)],
+                    axis=1).astype(jnp.int32), axis=1)
+                corr = jnp.take_along_axis(greedy, m[:, None], axis=1)
+                emitted = jnp.where(
+                    jnp.arange(k_ + 1)[None, :] < m[:, None],
+                    jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)],
+                                    axis=1),
+                    corr)
+            # per-slot rollback inside the jit: live slots advance to their
+            # accepted frontier (+m+1 of the k+1 writes); idle slots undo
+            # everything. Rejected/undone positions are dead data past
+            # ``length`` — the same masking trick as idle-slot decode writes
+            lt = t_cache.length - (k_ + 1) + jnp.where(keep, m + 1, 0)
+            ld = d_cache.length - (k_ + 1) + jnp.where(keep, m + 1, 0)
+            return (emitted, m, t_cache._replace(length=lt),
+                    d_cache._replace(length=ld))
+
+        return spec_step
+
     def _next_key(self):
         self._step_count += 1
         return jax.random.fold_in(self._key, self._step_count)
 
-    def _prefill_fn(self, t_pad: int):
-        if t_pad not in self._prefill_cache:
-            model, qp, sampling = self.model, self.qp, self.sampling
+    def _prefill_fn(self, t_pad: int, draft: bool = False):
+        key_ = ("prefill", t_pad, draft)
+        if key_ not in self._prefill_cache:
+            model = self.draft if draft else self.model
+            qp = self.draft_qp if draft else self.qp
+            sampling = self.sampling
 
             @jax.jit
             def prefill(variables, tokens, k, v, real_len, key):
@@ -141,8 +265,8 @@ class ContinuousBatcher:
                                          sampling, key)[0]
                 return next_tok, sub.k, sub.v
 
-            self._prefill_cache[t_pad] = self._partitioned(prefill)
-        return self._prefill_cache[t_pad]
+            self._prefill_cache[key_] = self._partitioned(prefill)
+        return self._prefill_cache[key_]
 
     def _resume_admit_fn(self, t_pad: int):
         """Warm admission as ONE jitted call: slot slice + prefix splice +
@@ -235,16 +359,50 @@ class ContinuousBatcher:
                                                   axis=1),
             length=self.cache.length.at[slot].set(real),
         )
+        if self.draft is not None:
+            # draft cache admission: always a cold full-prompt prefill of
+            # the draft model into the parallel slot slab (the prefix cache
+            # holds TARGET KV only; the draft is small — its prefill is the
+            # cheap one). Invariant matches the target's: the draft cache
+            # holds KV for prompt + generated[:-1]
+            t_pad_d = _pad_to_bucket(real)
+            toks_d = np.zeros((1, t_pad_d), np.int32)
+            toks_d[0, :real] = prompt
+            dk = jax.lax.dynamic_slice_in_dim(self.draft_cache.k, slot, 1,
+                                              axis=1)
+            dv = jax.lax.dynamic_slice_in_dim(self.draft_cache.v, slot, 1,
+                                              axis=1)
+            _, dk_new, dv_new = self._prefill_fn(t_pad_d, draft=True)(
+                self.draft_variables, jnp.asarray(toks_d), dk, dv,
+                jnp.asarray(real), self._next_key(),
+            )
+            self.draft_cache = KVCache(
+                k=jax.lax.dynamic_update_slice_in_dim(
+                    self.draft_cache.k, dk_new, slot, axis=1),
+                v=jax.lax.dynamic_update_slice_in_dim(
+                    self.draft_cache.v, dv_new, slot, axis=1),
+                length=self.draft_cache.length.at[slot].set(real),
+            )
+
         first = int(next_tok)
         self.active[slot] = {
             "generated": [first],
             "remaining": max_new_tokens - 1,
+            "plen": real,
             "done": first == self.eos_token or max_new_tokens <= 1,
         }
         return slot
 
     def step(self) -> Dict[int, int]:
-        """One batched decode step for every active unfinished slot."""
+        """One batched decode step for every active unfinished slot.
+
+        With a draft model configured this is a batched SPECULATIVE round:
+        each live slot advances by 1..spec_k+1 tokens (the returned dict
+        maps slot -> last emitted token). Slots whose cache cannot hold a
+        full k+1-token round are finished early (within spec_k+1 tokens of
+        ``max_seq`` — the non-speculative path cuts at max_seq-1)."""
+        if self.draft is not None:
+            return self._step_speculative()
         live = [s for s, st in self.active.items() if not st["done"]]
         if not live:
             return {}
@@ -276,6 +434,57 @@ class ContinuousBatcher:
                 st["done"] = True
         return out
 
+    def _step_speculative(self) -> Dict[int, int]:
+        """One batched speculative round (see :meth:`step`)."""
+        k = self.spec_k
+        live = []
+        for s, st in self.active.items():
+            if st["done"]:
+                continue
+            if st["plen"] + len(st["generated"]) + k + 1 > self.max_seq:
+                # no room for a full k+1-token round in the cache slab
+                st["done"] = True
+                continue
+            live.append(s)
+        if not live:
+            return {}
+        tokens = np.zeros((self.slots,), np.int32)
+        for s in live:
+            tokens[s] = self.active[s]["generated"][-1]
+        keep = np.zeros((self.slots,), bool)
+        keep[live] = True
+
+        emitted, m, self.cache, self.draft_cache = self._spec_step(
+            self.variables, self.draft_variables, self.cache,
+            self.draft_cache, jnp.asarray(tokens), jnp.asarray(keep),
+            self._next_key(),
+        )
+        em = np.asarray(emitted)
+        mm = np.asarray(m)
+
+        out: Dict[int, int] = {}
+        for s in live:
+            st = self.active[s]
+            acc = int(mm[s])
+            self.proposed += k
+            self.accepted += acc
+            for tok in em[s][: acc + 1].tolist():
+                tok = int(tok)
+                st["generated"].append(tok)
+                st["remaining"] -= 1
+                out[s] = tok
+                if tok == self.eos_token or st["remaining"] <= 0:
+                    # truncated mid-round: the slot is done, so the cache
+                    # frontier past the kept tokens is dead data
+                    st["done"] = True
+                    break
+        return out
+
+    @property
+    def acceptance_rate(self) -> float:
+        """Draft-token acceptance across all speculative rounds so far."""
+        return self.accepted / max(self.proposed, 1)
+
     def retire(self, slot: int) -> List[int]:
         """Free a finished slot; returns its generated tokens."""
         st = self.active.pop(slot)
@@ -283,6 +492,9 @@ class ContinuousBatcher:
             k=self.cache.k, v=self.cache.v,
             length=self.cache.length.at[slot].set(0),
         )
+        if self.draft_cache is not None:
+            self.draft_cache = self.draft_cache._replace(
+                length=self.draft_cache.length.at[slot].set(0))
         self.free.append(slot)
         return st["generated"]
 

@@ -213,16 +213,54 @@ def main(argv=None):
     results = interleaved_slopes(builders, args_for, depths=(2, 6),
                                  trials=args.trials, max_n1=96)
 
+    def batch_bytes(name):
+        """XLA's own post-fusion 'bytes accessed' estimate for ONE forward
+        (VERDICT r4 next #4): the honest per-mode accounting of weight +
+        inter-layer-activation HBM traffic (mode-dependent boundary dtypes —
+        f32 sim, bf16 fast, 1-byte chained codes — are whatever the
+        compiled program actually materializes). An ESTIMATE, not a lower
+        bound: a >peak utilization is flagged suspect, not fatal (contrast
+        bench_llama.py's analytic lower bound + hard refusal)."""
+        model, vs, qp = modes[name]
+        try:
+            c = jax.jit(lambda v, t: model.apply(v, t, qp)).lower(
+                vs, x).compile()
+            ca = c.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            bts = float(ca.get("bytes accessed", 0.0))
+            return bts or None
+        except Exception as e:  # cost analysis is optional on some backends
+            print(f"  (no cost analysis for {name}: {e})", flush=True)
+            return None
+
+    from fp8_quantization_tpu.utils.profiling import device_peaks
+
+    hbm_peak = device_peaks()["hbm_gbps"]
     payload = {"metric": f"{args.arch}_e2e", "batch_size": b,
-               "unit": "ms/batch", "modes": {}}
+               "unit": "ms/batch", "hbm_peak_gbps": hbm_peak, "modes": {}}
     for name, r in results.items():
         per = r["per_iter"]
-        payload["modes"][name] = {
+        entry = {
             "ms_per_batch": round(per * 1e3, 3) if per else None,
             "imgs_per_sec": round(b / per, 1) if per else None,
             "floor_ok": r["floor_ok"],
             "depths": r["depths"],
         }
+        if per:
+            bts = batch_bytes(name)
+            if bts:
+                gbps = bts / per / 1e9
+                entry["xla_bytes_mb"] = round(bts / 1e6, 1)
+                entry["hbm_gbps"] = round(gbps, 1)
+                if hbm_peak == hbm_peak:
+                    entry["hbm_util"] = round(gbps / hbm_peak, 4)
+                    if gbps > hbm_peak:
+                        entry["hbm_util_suspect"] = True
+                        print(f"WARNING: {name} implies {gbps:.0f} GB/s > "
+                              f"peak {hbm_peak} — XLA byte estimate or "
+                              f"timing suspect", flush=True)
+        payload["modes"][name] = entry
         print(f"{name:8s}: {(per * 1e3 if per else float('nan')):8.2f} "
               f"ms/batch", flush=True)
     for num, den, label in [

@@ -253,14 +253,41 @@ def main():
     results = interleaved_slopes(builders, args_for, depths=(2, 8),
                                  trials=args.trials, max_n1=256)
 
+    def decode_step_bytes(mode, kv_dtype):
+        """LOWER BOUND on HBM bytes one decode step must move (VERDICT r4
+        next #4): every projection weight streams once (the embed table is a
+        B-row gather, excluded) and the attention reads the FULL padded KV
+        slab (the einsum decode contracts all S columns; masking does not
+        skip reads). Activations/scales/norms at B=8 are noise and are
+        counted only via the f32 norm gammas. Being a lower bound makes the
+        roofline guard sound: achieved-GB/s computed from it can only
+        UNDER-state true traffic, so a reading above the chip peak is
+        physically impossible and the bench refuses to publish it."""
+        h, hd, L = spec.hidden_size, spec.head_dim, spec.num_layers
+        proj = L * (h * spec.num_heads * hd + 2 * h * spec.num_kv_heads * hd
+                    + spec.num_heads * hd * h + 3 * h * spec.mlp_dim)
+        proj += h * spec.vocab_size  # lm_head streams fully
+        wb = {"fast": 2, "nofused": 2, "packedkv": 2, "packed": 1,
+              "packed_both": 1, "int8": 1, "chained": 1, "int4": 0.5}[mode]
+        norm_b = (2 * L * h + h) * 4
+        kv_b = (2 * L * b * s_len * spec.num_kv_heads * hd
+                * jnp.dtype(kv_dtype).itemsize)
+        return proj * wb + norm_b + kv_b
+
+    from fp8_quantization_tpu.utils.profiling import device_peaks
+
+    hbm_peak = device_peaks()["hbm_gbps"]
+
     payload = {
         "metric": "llama_serving",
         "params_m": round((n_params or 0) / 1e6, 1),
         "prefill_t": t_len,
         "decode_batch": b,
         "decode_context": s_len,
+        "hbm_peak_gbps": hbm_peak,
         "modes": {},
     }
+    impossible = []
     for cell, r in results.items():
         kind, name = kinds[cell]
         per = r["per_iter"]
@@ -271,11 +298,26 @@ def main():
         else:
             entry["decode_step_ms"] = round(per * 1e3, 3) if per else None
             entry["decode_tok_s"] = round(b / per, 1) if per else None
+            if per:
+                bts = decode_step_bytes(name, setups[name]["kv"])
+                gbps = bts / per / 1e9
+                entry["decode_bytes_mb"] = round(bts / 1e6, 1)
+                entry["hbm_gbps"] = round(gbps, 1)
+                if hbm_peak == hbm_peak:  # not NaN (real TPU)
+                    entry["hbm_util"] = round(gbps / hbm_peak, 4)
+                    if gbps > hbm_peak:
+                        impossible.append((name, gbps))
         entry[f"{kind}_floor_ok"] = r["floor_ok"]
         entry[f"{kind}_depths"] = r["depths"]
         print(f"{cell:18s}: "
               f"{(per * 1e3 if per else float('nan')):8.3f} ms/iter",
               flush=True)
+    if impossible:
+        for name, gbps in impossible:
+            print(f"IMPOSSIBLE: {name} decode implies {gbps:.0f} GB/s > "
+                  f"chip peak {hbm_peak} (lower-bound bytes) — timing "
+                  f"artifact; refusing to publish", file=sys.stderr)
+        sys.exit(1)
 
     for kind in ("prefill", "decode"):
         for a, bm in [("fast", "packed"), ("fast", "packedkv"),

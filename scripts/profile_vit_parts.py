@@ -145,8 +145,13 @@ def main():
         "attn_fused": (q,),
         "attn_einsum": (q,),
     }
+    # max_n1 8192: the cheap cells (gelu, LN, int8 sites, einsum attention)
+    # run ~10-30 us/iter, so clearing the 50 ms differential floor needs
+    # chains thousands deep — fori_loop depth costs nothing at compile time
+    # (VERDICT r4 weak #6: the r3 run capped at 512 and published
+    # "indicative" sub-floor rows; this run must have floor_ok on ALL cells)
     results = interleaved_slopes(builders, args_for, depths=(8, 32),
-                                 trials=5, max_n1=512)
+                                 trials=5, max_n1=8192)
     payload = {"metric": "vit_parts_us_per_block", "batch": B}
     for name, r in results.items():
         per = r["per_iter"]

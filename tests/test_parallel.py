@@ -416,3 +416,28 @@ def test_sharded_chained_cnn_matches_single_device(rng):
 
         out = np.asarray(fwd(vs, xs))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_speculative_batcher_matches_single_device(rng):
+    """The speculative CONTINUOUS BATCHER (draft scan + batched verify +
+    per-slot rollback, VERDICT r4 next #3) under a (data, model) mesh must
+    emit the exact single-device tokens for every slot, with rejections
+    actually occurring (different-init draft)."""
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+
+    spec, model, v = _llama_parts(rng)
+    _, _, dv = _llama_parts(rng, init_key=1)
+    prompts = [[3, 1, 4, 1, 5], [9, 2, 6]]
+
+    def run(mesh):
+        b = ContinuousBatcher(model, v, spec, slots=2, mesh=mesh,
+                              draft_model=model, draft_variables=dv,
+                              draft_spec=spec, spec_k=3)
+        slots = [b.admit(p, max_new_tokens=7) for p in prompts]
+        b.run_to_completion()
+        assert b.accepted < b.proposed  # reject/rollback path must run
+        return [b.retire(s) for s in slots]
+
+    want = run(None)
+    got = run(make_mesh(data=2, model=4))
+    assert got == want

@@ -117,6 +117,10 @@ def main(argv=None):
         raise SystemExit("int4 must run alone (two weight trees at this "
                          "scale exceed the chip HBM; runs cannot interleave)")
 
+    # threefry generation of 9.4B f32 params takes ~an hour on 2 CPU cores;
+    # rbg is ~10x faster and the weights are random throughput fodder anyway
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     spec = LlamaSpec(
         vocab_size=args.vocab, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
@@ -226,18 +230,24 @@ def main(argv=None):
                   (spec.hidden_size, spec.mlp_dim),
                   (spec.hidden_size, spec.mlp_dim),
                   (spec.mlp_dim, spec.hidden_size)]
+        all_shapes = (shapes * spec.num_layers
+                      + [(spec.vocab_size, spec.hidden_size)] * 2)
+        payload["bf16_alloc_gib"] = round(
+            sum(a * b for a, b in all_shapes) * 2 / 2**30, 2)
+
+        # ONE executable whose OUTPUT is the whole bf16 weight set: output
+        # buffers cannot alias, so the execute must allocate the full
+        # resident set on device (per-buffer jits would mean ~250 remote
+        # compiles; distinct fill values keep XLA from deduping constants)
+        @jax.jit
+        def alloc_all():
+            return [jnp.full(s, float(i % 251), jnp.bfloat16)
+                    for i, s in enumerate(all_shapes)]
+
+        bufs = None
         try:
-            bufs = []
             with jax.default_device(dev):
-                bufs.append(jax.device_put(
-                    jnp.zeros((), jnp.bfloat16), dev))  # warm
-                for li in range(spec.num_layers):
-                    for s in shapes:
-                        bufs.append(
-                            jax.jit(lambda s=s: jnp.zeros(s, jnp.bfloat16))())
-                for s in [(spec.vocab_size, spec.hidden_size)] * 2:
-                    bufs.append(
-                        jax.jit(lambda s=s: jnp.zeros(s, jnp.bfloat16))())
+                bufs = alloc_all()
                 jax.block_until_ready(bufs)
             payload["bf16_fits"] = True
             payload["oom_proof"] = "UNEXPECTED: bf16 tree fit on device"

@@ -165,18 +165,23 @@ def test_eos_truncates_mid_round(models):
     """An EOS token emitted inside an accepted run must stop that slot
     immediately (tokens after EOS in the same round are dropped)."""
     (model, v), (dmodel, dv) = models
-    # pick a greedy-emitted token whose FIRST occurrence is past position 0
-    # (greedy decodes of random models cycle, so ref[i] may repeat earlier)
-    ref = _serve(ContinuousBatcher(model, v, SPEC, slots=1), [PROMPTS[0]],
-                 n=9)[0]
-    cut = next((i for i in range(1, len(ref)) if ref[i] not in ref[:i]), None)
-    if cut is None:
-        pytest.skip("greedy sequence has no late-first-occurrence token")
+    # pick a prompt whose greedy decode has a token with a FIRST occurrence
+    # past position 0 (greedy decodes of random models cycle, so a single
+    # prompt may yield a constant repeat with nothing to cut at)
+    for prompt in PROMPTS + [[7, 7, 2], [1, 2, 3, 4]]:
+        ref = _serve(ContinuousBatcher(model, v, SPEC, slots=1), [prompt],
+                     n=9)[0]
+        cut = next((i for i in range(1, len(ref)) if ref[i] not in ref[:i]),
+                   None)
+        if cut is not None:
+            break
+    else:
+        pytest.skip("no greedy sequence with a late-first-occurrence token")
     eos = ref[cut]
     b = ContinuousBatcher(model, v, SPEC, slots=1, eos_token=eos,
                           draft_model=dmodel, draft_variables=dv,
                           draft_spec=TINY, spec_k=3)
-    s = b.admit(PROMPTS[0], max_new_tokens=9)
+    s = b.admit(prompt, max_new_tokens=9)
     b.run_to_completion()
     got = b.retire(s)
     assert got == ref[: cut + 1]  # up to and including the first EOS

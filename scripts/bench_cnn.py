@@ -26,7 +26,7 @@ from jax import lax
 
 from _harness import emit_artifact, interleaved_slopes, ratio
 
-FP8_MODES = ("fp32", "fixed", "cached", "fast", "packed")
+FP8_MODES = ("fp32", "fixed", "cached", "fast", "packed", "chained_fp8")
 INT8_MODES = ("int8", "chained", "int4", "chained4")
 
 
@@ -131,6 +131,11 @@ def main(argv=None):
                          QuantPhase(phase="fixed", fast=True))
         modes["packed"] = (model8, pk_vars,
                            QuantPhase(phase="fixed", fast=True, packed=True))
+        # r5: the FP8 fused boundary (VERDICT r4 next #6) — BN/clamp ride a
+        # pending Affine into the next act site's FP8 clip fold
+        modes["chained_fp8"] = (model8, pk_vars,
+                                QuantPhase(phase="fixed", fast=True,
+                                           packed=True, chained=True))
 
     if want & set(INT8_MODES):
         # run_method: the REFERENCE defaults (click_options.py:483-486 —
@@ -266,6 +271,9 @@ def main(argv=None):
     for num, den, label in [
         ("fp32", "fast", "fast_vs_fp32"),
         ("fast", "packed", "packed_vs_fast"),
+        ("fast", "chained_fp8", "chained_fp8_vs_fast"),
+        ("packed", "chained_fp8", "chained_fp8_vs_packed"),
+        ("fp32", "chained_fp8", "chained_fp8_vs_fp32"),
         ("fast", "int8", "int8_vs_fast"),
         ("fast", "chained", "chained_vs_fast"),
         ("int8", "chained", "chained_vs_int8"),

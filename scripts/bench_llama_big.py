@@ -101,6 +101,10 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--modes", type=str, default="packed,packed_both")
     ap.add_argument("--skip-oom-proof", action="store_true")
+    ap.add_argument("--setup-only", action="store_true",
+                    help="run the CPU-side init/calibrate/pack phase, write "
+                         "the disk cache, and exit without touching the TPU "
+                         "(lets the chip serve other benches meanwhile)")
     ap.add_argument("--artifact", type=str, default="llama_big_capacity")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny spec, CPU-sized — plumbing check only")
@@ -216,6 +220,9 @@ def main(argv=None):
             gc.collect()
     log(f"packed {len(report)} dense layers; packed tree "
         f"{tree_bytes(pk_vars)/2**30:.2f} GiB")
+    if args.setup_only:
+        log("--setup-only: cache written, exiting before any TPU work")
+        return
 
     dev = jax.devices()[0]
     payload = {

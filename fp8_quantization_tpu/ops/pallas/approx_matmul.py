@@ -243,7 +243,7 @@ def _pad(x, mult, axis):
     static_argnames=("expo_width", "mant_width", "with_comp", "dnsmp_factor",
                      "with_approx", "with_s2nn2s_opt", "quant_btw_mult_accu",
                      "golden_clip_of", "bm", "bn", "bk", "kc",
-                     "vmem_limit_mb"),
+                     "vmem_limit_mb", "m_split"),
 )
 def approx_matmul_pallas(
     a,
@@ -265,6 +265,7 @@ def approx_matmul_pallas(
     bk: Optional[int] = None,
     kc: int = 4,
     vmem_limit_mb: Optional[int] = None,
+    m_split: int = 4096,
 ):
     """Approx matmul ``a @ b`` with v9 float-domain simulation semantics.
 
@@ -278,12 +279,37 @@ def approx_matmul_pallas(
         iteration as (kc, bm, bn) 3-D work. kc=4 measured fastest on
         v5e at 512^3 (2.25 ms vs 2.84 at kc=8, 3.07 at kc=1; larger
         tiles overflow VMEM) — scripts/sweep_approx_tiles.py.
+      m_split: dispatch row cap. Calls with M above it run as a
+        ``lax.map`` over row chunks of this size (one kernel compile,
+        sequential execution). Needed because XLA may place a custom
+        call's WHOLE result buffer in scoped VMEM when it feeds a fusion
+        (observed at M=25088, N=128 inside the MobileNetV2 conv body:
+        f32[25088,128]{..S(1)} = 12.9 MB output blew the 16 MB scoped
+        limit, r5). Row chunks are bit-identical to the unsplit call —
+        each output row depends only on its own A rows.
 
     Returns (M, N) float32.
     """
     m, k = a.shape
     k2, n = b.shape
     assert k == k2
+
+    if m > m_split:
+        kwargs = dict(
+            expo_width=expo_width, mant_width=mant_width,
+            with_comp=with_comp, dnsmp_factor=dnsmp_factor,
+            with_approx=with_approx, with_s2nn2s_opt=with_s2nn2s_opt,
+            quant_btw_mult_accu=quant_btw_mult_accu,
+            golden_clip_of=golden_clip_of, bm=bm, bn=bn, bk=bk, kc=kc,
+            vmem_limit_mb=vmem_limit_mb, m_split=m_split,
+        )
+        ap = _pad(a, m_split, 0)
+        chunks = ap.reshape(ap.shape[0] // m_split, m_split, k)
+        out = jax.lax.map(
+            lambda ai: approx_matmul_pallas(ai, b, bias_a, bias_b, bias_r,
+                                            **kwargs),
+            chunks)
+        return out.reshape(-1, n)[:m]
 
     def _ru(v, g):
         return -(-v // g) * g

@@ -25,6 +25,7 @@ Run: python scripts/bench_approx_vit.py [--batch-size 16] [--arch vit]
 """
 
 import argparse
+import functools
 import sys
 
 sys.path.insert(0, ".")
@@ -46,6 +47,17 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--modes", type=str, default="fixed,fast,approx")
     p.add_argument("--artifact", type=str, default=None)
+    p.add_argument("--scoped-vmem-kib", type=int, default=None,
+                   help="raise XLA's scoped-VMEM stack limit (default "
+                        "16384 kib) for the timed programs via per-jit "
+                        "compiler_options. MobileNetV2's approx mode needs "
+                        "this: XLA places approx-kernel outputs in scoped "
+                        "VMEM inside the conv-body fusions and the "
+                        "kernel stack + S(1) buffers exceed 16 MiB at "
+                        "several conv shapes (r5; the v5e has 128 MiB "
+                        "VMEM, so 64 MiB scoped is safe). Cannot go via "
+                        "XLA_FLAGS: the local CPU plugin fatals on "
+                        "TPU-only flags.")
     args = p.parse_args(argv)
     want = set(args.modes.split(","))
 
@@ -132,9 +144,12 @@ def main(argv=None):
         jax.block_until_ready([v for _, v, _ in modes.values()])
         x = jax.device_put(x, dev)
 
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": args.scoped_vmem_kib}
+             if args.scoped_vmem_kib else None)
+
     def builder(model, vs, qp):
         def build_fn(n):
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=copts)
             def f(variables, x):
                 def body(_, acc):
                     logits = model.apply(variables, acc, qp)

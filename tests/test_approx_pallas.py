@@ -108,3 +108,23 @@ def test_unaligned_shapes_padding(rng):
         bm=8, bn=8, bk=8,
     ))
     np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-6)
+
+
+def test_m_split_bit_identical(rng):
+    """Large-M dispatches run as a lax.map over row chunks (m_split) and must
+    be BIT-identical to the unsplit kernel: each output row depends only on
+    its own A rows. The split exists because XLA may place a custom call's
+    whole result in scoped VMEM when it feeds a fusion (r5: f32[25088,128]
+    output inside the MobileNetV2 conv body blew the 16 MB scoped limit)."""
+    ew, mw = 3, 4
+    ba, bb, br = 5, 6, 4
+    m, k, n = 200, 24, 16  # m deliberately NOT a multiple of the split
+    a, b = _operands(rng, m, k, n, ew, mw, ba, bb)
+    table_kwargs = dict(expo_width=ew, mant_width=mw, with_comp=True,
+                        dnsmp_factor=3)
+    whole = np.asarray(approx_matmul_pallas(
+        jnp.asarray(a), jnp.asarray(b), ba, bb, br, **table_kwargs))
+    split = np.asarray(approx_matmul_pallas(
+        jnp.asarray(a), jnp.asarray(b), ba, bb, br, m_split=64,
+        **table_kwargs))
+    np.testing.assert_array_equal(whole, split)

@@ -100,7 +100,24 @@ class PagedBatcher:
                  num_pages: int = 64, page_size: int = 16,
                  max_seq: Optional[int] = None, eos_token: int = -1,
                  qp: QuantPhase = FIXED,
-                 sampling: SamplingParams = GREEDY, seed: int = 0):
+                 sampling: SamplingParams = GREEDY, seed: int = 0,
+                 draft_model=None, draft_variables=None,
+                 draft_spec: Optional[LlamaSpec] = None, spec_k: int = 4,
+                 draft_qp: Optional[QuantPhase] = None):
+        """``draft_model``/``draft_variables``/``draft_spec``: optional draft
+        for batched SPECULATIVE decoding over the paged pool (completes the
+        serving composition matrix — ROADMAP "speculative + paged"). Each
+        :meth:`step` then runs ``spec_k`` draft proposals per live slot and
+        ONE (slots, k+1)-token target verify whose KV scatters land in the
+        slot's pages (allocated up front for the full round). Rollback over
+        the page table is pure host bookkeeping: physical pages are already
+        owned by the slot, so rejecting tokens just means ``lengths`` only
+        advances to the accepted frontier — rejected positions are dead data
+        in the slot's own pages, overwritten by the next round's scatter
+        (the same masking trick as the trash-page writes). The draft keeps a
+        DENSE (slots, max_seq) slab: paging exists to bound the BIG model's
+        KV HBM; the draft is small by design and a dense slab keeps its
+        k-step scan free of per-step gather/scatter overhead."""
         self.model = model
         self.variables = variables
         self.spec = spec
@@ -123,6 +140,23 @@ class PagedBatcher:
         self.free_slots: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
 
+        self.draft = draft_model
+        self.draft_spec = draft_spec
+        self.draft_qp = draft_qp or qp
+        self.spec_k = spec_k
+        self.draft_variables = draft_variables
+        self.proposed = 0   # speculative telemetry (SpecStats analog)
+        self.accepted = 0
+        if draft_model is not None:
+            from .llama import KVCache
+
+            self.draft_cache = KVCache.zeros(
+                draft_spec, slots, self.max_seq,
+                dtype=jnp.uint8 if getattr(draft_model, "packed_kv", False)
+                else jnp.bfloat16)
+        else:
+            self.draft_cache = None
+
         import functools
 
         # donate the cache: the page pools are updated in place by the decode
@@ -138,7 +172,41 @@ class PagedBatcher:
             return sample_tokens(logits[:, -1, :], sampling, key), cache
 
         self._decode = decode_step
+        if draft_model is not None:
+            self._spec_step = self._build_spec_step()
         self._prefill_jit = {}
+
+    def _build_spec_step(self):
+        """Compile the batched speculative round over the paged pool: the
+        shared :func:`~.speculative.batched_spec_round` core with the target
+        verify running through the page-table scatter/gather path. Lengths
+        and the page table are rebuilt from host state every call (exactly
+        like the non-speculative step), so per-slot rollback needs NO
+        device-side masking here — the host simply advances ``lengths`` to
+        each slot's accepted frontier."""
+        import functools
+
+        from .llama import KVCache
+        from .speculative import batched_spec_round
+
+        model, qp, sampling = self.model, self.qp, self.sampling
+        draft_model, draft_qp = self.draft, self.draft_qp
+        k_ = self.spec_k
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+        def spec_step(tvars, dvars, k_pages, v_pages, dk, dv, page_table,
+                      lengths, tokens_cur, key):
+            t_cache = PagedKVCache(k_pages=k_pages, v_pages=v_pages,
+                                   page_table=page_table, length=lengths)
+            d_cache = KVCache(k=dk, v=dv, length=lengths)
+            emitted, m, t_cache, d_cache = batched_spec_round(
+                draft_model, dvars, d_cache, draft_qp,
+                lambda toks: model.apply(tvars, toks, t_cache, qp),
+                tokens_cur, k_, sampling, key)
+            return (emitted, m, t_cache.k_pages, t_cache.v_pages,
+                    d_cache.k, d_cache.v)
+
+        return spec_step
 
     def _next_key(self):
         self._step_count += 1
@@ -205,6 +273,37 @@ class PagedBatcher:
             self.variables, jnp.asarray(tokens), slot_cache,
             jnp.asarray(real), self._next_key())
 
+        if self.draft is not None:
+            # draft cache admission: cold full-prompt prefill of the draft
+            # into the parallel DENSE slot slab (invariant matches the
+            # target's: the draft cache holds KV for prompt+generated[:-1])
+            from .llama import KVCache
+
+            dkey = ("draft", t_pad)
+            if dkey not in self._prefill_jit:
+                draft_model, draft_qp = self.draft, self.draft_qp
+
+                @jax.jit
+                def dprefill(dvars, tokens, k, v):
+                    sub = KVCache(k=k, v=v, length=jnp.zeros((1,), jnp.int32))
+                    _, sub = draft_model.apply(dvars, tokens, sub, draft_qp,
+                                               chunk_attention=True)
+                    return sub.k, sub.v
+
+                self._prefill_jit[dkey] = dprefill
+            dk = jax.lax.dynamic_slice_in_dim(self.draft_cache.k, slot, 1,
+                                              axis=1)
+            dv = jax.lax.dynamic_slice_in_dim(self.draft_cache.v, slot, 1,
+                                              axis=1)
+            dk_new, dv_new = self._prefill_jit[dkey](
+                self.draft_variables, jnp.asarray(tokens), dk, dv)
+            self.draft_cache = self.draft_cache._replace(
+                k=jax.lax.dynamic_update_slice_in_dim(
+                    self.draft_cache.k, dk_new, slot, axis=1),
+                v=jax.lax.dynamic_update_slice_in_dim(
+                    self.draft_cache.v, dv_new, slot, axis=1),
+            )
+
         self.lengths[slot] = real
         first = int(next_tok)
         self.active[slot] = {
@@ -215,7 +314,13 @@ class PagedBatcher:
         return slot
 
     def step(self) -> Dict[int, int]:
-        """One batched decode step for every active unfinished slot."""
+        """One batched decode step for every active unfinished slot.
+
+        With a draft model configured this is a batched SPECULATIVE round:
+        each live slot advances by 1..spec_k+1 tokens (see
+        :meth:`_step_speculative`)."""
+        if self.draft is not None:
+            return self._step_speculative()
         live = [s for s, st in self.active.items() if not st["done"]]
         if not live:
             return {}
@@ -243,6 +348,66 @@ class PagedBatcher:
             ):
                 st["done"] = True
         return out
+
+    def _step_speculative(self) -> Dict[int, int]:
+        """One batched speculative round over the paged pool (see
+        :meth:`step`). Pages for the full k+1-token round are allocated
+        before the device step; rollback keeps them (the next round reuses
+        them — they are only released at :meth:`retire`)."""
+        k = self.spec_k
+        live = []
+        for s, st in self.active.items():
+            if st["done"]:
+                continue
+            if int(self.lengths[s]) + k + 2 > self.max_seq:
+                # no room for a full k+1-token round in the slot's table
+                # (same cut as serving.ContinuousBatcher._step_speculative:
+                # lengths == plen + len(generated) - 1)
+                st["done"] = True
+                continue
+            live.append(s)
+        if not live:
+            return {}
+        tokens = np.zeros((self.slots,), np.int32)
+        for s in live:
+            tokens[s] = self.active[s]["generated"][-1]
+            self._ensure_pages(s, int(self.lengths[s]) + k + 1)
+
+        emitted, m, self.k_pages, self.v_pages, dk, dv = self._spec_step(
+            self.variables, self.draft_variables, self.k_pages, self.v_pages,
+            self.draft_cache.k, self.draft_cache.v,
+            jnp.asarray(self.table), jnp.asarray(self.lengths),
+            jnp.asarray(tokens), self._next_key(),
+        )
+        self.draft_cache = self.draft_cache._replace(k=dk, v=dv)
+        em = np.asarray(emitted)
+        mm = np.asarray(m)
+
+        out: Dict[int, int] = {}
+        for s in live:
+            st = self.active[s]
+            acc = int(mm[s])
+            self.proposed += k
+            self.accepted += acc
+            kept = 0
+            for tok in em[s][: acc + 1].tolist():
+                tok = int(tok)
+                st["generated"].append(tok)
+                st["remaining"] -= 1
+                kept += 1
+                out[s] = tok
+                if tok == self.eos_token or st["remaining"] <= 0:
+                    # truncated mid-round: the slot is done, so the page
+                    # frontier past the kept tokens is dead data
+                    st["done"] = True
+                    break
+            self.lengths[s] += kept
+        return out
+
+    @property
+    def acceptance_rate(self) -> float:
+        """Draft-token acceptance across all speculative rounds so far."""
+        return self.accepted / max(self.proposed, 1)
 
     def retire(self, slot: int) -> List[int]:
         """Free a finished slot and its pages; returns its generated tokens."""

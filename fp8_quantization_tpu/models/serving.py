@@ -173,65 +173,19 @@ class ContinuousBatcher:
         attend an all-zero row later)."""
         import functools
 
-        from jax import lax
-
-        from .sampling import filtered_probs
-        from .speculative import spec_accept
+        from .speculative import batched_spec_round
 
         model, qp, sampling = self.model, self.qp, self.sampling
         draft_model, draft_qp = self.draft, self.draft_qp
         k_ = self.spec_k
-        stochastic = not sampling.greedy
 
         @self._partitioned
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def spec_step(tvars, dvars, t_cache, d_cache, tokens_cur, keep, key):
-            b = tokens_cur.shape[0]
-            kd, kv = jax.random.split(key)
-            dkeys = jax.random.split(kd, k_ + 1)
-
-            def dstep(carry, skey):
-                cache, tok = carry
-                logits, cache = draft_model.apply(dvars, tok[:, None], cache,
-                                                  draft_qp)
-                row = logits[:, -1, :]
-                if stochastic:
-                    q_row = filtered_probs(row, sampling)
-                    nxt = jax.random.categorical(
-                        skey, jnp.log(jnp.maximum(q_row, 1e-30)), axis=-1
-                    ).astype(jnp.int32)
-                else:
-                    q_row = jnp.zeros((b, 0), jnp.float32)
-                    nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
-                return (cache, nxt), (nxt, q_row)
-
-            (d_cache, _), (toks, q_rows) = lax.scan(
-                dstep, (d_cache, tokens_cur), dkeys)
-            drafts = toks[:k_].T                                  # (B, k)
-
-            tokens = jnp.concatenate([tokens_cur[:, None], drafts], axis=1)
-            logits, t_cache = model.apply(tvars, tokens, t_cache, qp)
-
-            if stochastic:
-                p_rows = filtered_probs(logits, sampling)      # (B, k+1, V)
-                q_bkv = jnp.moveaxis(q_rows[:k_], 0, 1)        # (B, k, V)
-                ku, kr = jax.random.split(kv)
-                u = jax.random.uniform(ku, (b, k_))
-                rkeys = jax.random.split(kr, b)
-                emitted, m = jax.vmap(spec_accept)(drafts, q_bkv, p_rows, u,
-                                                   rkeys)
-            else:
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                match = drafts == greedy[:, :-1]
-                m = jnp.argmin(jnp.concatenate(
-                    [match, jnp.zeros((b, 1), bool)],
-                    axis=1).astype(jnp.int32), axis=1)
-                corr = jnp.take_along_axis(greedy, m[:, None], axis=1)
-                emitted = jnp.where(
-                    jnp.arange(k_ + 1)[None, :] < m[:, None],
-                    jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)],
-                                    axis=1),
-                    corr)
+            emitted, m, t_cache, d_cache = batched_spec_round(
+                draft_model, dvars, d_cache, draft_qp,
+                lambda toks: model.apply(tvars, toks, t_cache, qp),
+                tokens_cur, k_, sampling, key)
             # per-slot rollback inside the jit: live slots advance to their
             # accepted frontier (+m+1 of the k+1 writes); idle slots undo
             # everything. Rejected/undone positions are dead data past

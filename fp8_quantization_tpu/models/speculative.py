@@ -73,6 +73,76 @@ def spec_accept(drafts, q_rows, p_rows, u, key):
     return out, m
 
 
+def batched_spec_round(draft_model, dvars, d_cache, draft_qp, target_apply,
+                       tokens_cur, k, sampling, key):
+    """The batched speculative round shared by the continuous batchers:
+    a fixed-(k+1)-step draft scan over ALL slots plus ONE (B, k+1)-token
+    target verify with per-slot acceptance (VERDICT r4 next #3).
+
+    ``target_apply``: ``(tokens (B, k+1)) -> (logits, new_target_cache)`` —
+    the caller closes over the target model/variables/cache, so the same
+    core serves the dense-slab ``ContinuousBatcher`` and the page-table
+    ``PagedBatcher`` (rollback semantics differ per cache type and stay
+    with the caller). Greedy sampling emits the longest matching prefix
+    plus the target's correction (token-identical to the target's own
+    greedy decode); stochastic sampling is vmapped :func:`spec_accept`
+    (exact target ancestral sampling per slot). The draft scan runs k+1
+    steps so the last proposal's KV is written (fully-accepted rounds
+    would otherwise attend an all-zero row later).
+
+    Returns ``(emitted (B, k+1), m (B,), t_cache, d_cache)`` where slot
+    ``b`` emits ``emitted[b, :m[b]+1]``; both caches come back with their
+    lengths advanced by the full k+1 writes — the caller applies the
+    accept-frontier rollback.
+    """
+    b = tokens_cur.shape[0]
+    stochastic = not sampling.greedy
+    kd, kv = jax.random.split(key)
+    dkeys = jax.random.split(kd, k + 1)
+
+    def dstep(carry, skey):
+        cache, tok = carry
+        logits, cache = draft_model.apply(dvars, tok[:, None], cache,
+                                          draft_qp)
+        row = logits[:, -1, :]
+        if stochastic:
+            q_row = filtered_probs(row, sampling)
+            nxt = jax.random.categorical(
+                skey, jnp.log(jnp.maximum(q_row, 1e-30)), axis=-1
+            ).astype(jnp.int32)
+        else:
+            q_row = jnp.zeros((b, 0), jnp.float32)
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+        return (cache, nxt), (nxt, q_row)
+
+    (d_cache, _), (toks, q_rows) = lax.scan(dstep, (d_cache, tokens_cur),
+                                            dkeys)
+    drafts = toks[:k].T                                       # (B, k)
+
+    tokens = jnp.concatenate([tokens_cur[:, None], drafts], axis=1)
+    logits, t_cache = target_apply(tokens)
+
+    if stochastic:
+        p_rows = filtered_probs(logits, sampling)             # (B, k+1, V)
+        q_bkv = jnp.moveaxis(q_rows[:k], 0, 1)                # (B, k, V)
+        ku, kr = jax.random.split(kv)
+        u = jax.random.uniform(ku, (b, k))
+        rkeys = jax.random.split(kr, b)
+        emitted, m = jax.vmap(spec_accept)(drafts, q_bkv, p_rows, u, rkeys)
+    else:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = drafts == greedy[:, :-1]
+        m = jnp.argmin(jnp.concatenate(
+            [match, jnp.zeros((b, 1), bool)],
+            axis=1).astype(jnp.int32), axis=1)
+        corr = jnp.take_along_axis(greedy, m[:, None], axis=1)
+        emitted = jnp.where(
+            jnp.arange(k + 1)[None, :] < m[:, None],
+            jnp.concatenate([drafts, jnp.zeros((b, 1), jnp.int32)], axis=1),
+            corr)
+    return emitted, m, t_cache, d_cache
+
+
 class SpecStats(NamedTuple):
     proposed: int       # draft tokens proposed
     accepted: int       # draft tokens accepted by the target

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
+import functools
 import json
 import os
 from typing import Any, Dict, Iterable, Optional, Tuple
@@ -25,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.sites import QuantPhase
+from ..utils.misc import approx_compiler_options
 from .metrics import MetricState, finalize_metrics, update_metrics
 
 Batch = Tuple[Any, Any]
@@ -45,7 +47,8 @@ def calibrate(
     qp = QuantPhase(phase="estimate", quant_w=quant_w, quant_a=quant_a)
     model_kwargs = model_kwargs or {}
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       compiler_options=approx_compiler_options(model))
     def step(variables, x):
         _, ups = model.apply(
             variables, x, qp, mutable=["quant", "quant_est"], **model_kwargs
@@ -151,8 +154,12 @@ def evaluate(
     model_kwargs = model_kwargs or {}
 
     # variables are a traced argument (not a closure) so repeated evaluate()
-    # calls reuse the compiled executable instead of re-embedding weights
-    @jax.jit
+    # calls reuse the compiled executable instead of re-embedding weights.
+    # approx-armed conv models get the scoped-VMEM compiler option
+    # automatically (utils.misc.approx_compiler_options) so the flagship
+    # approx eval is config-free on TPU
+    @functools.partial(jax.jit,
+                       compiler_options=approx_compiler_options(model))
     def step(variables, state: MetricState, x, y):
         logits = model.apply(variables, x, qp, **model_kwargs)
         return update_metrics(state, logits, y, k=topk)

@@ -77,3 +77,32 @@ class CosineTempDecay:
         return self.end_temp + 0.5 * (self.start_temp - self.end_temp) * (
             1 + np.cos(rel_t * np.pi)
         )
+
+
+def approx_compiler_options(model=None) -> Optional[dict]:
+    """Per-jit ``compiler_options`` required to compile approx-multiplier
+    CONV models on TPU (round-5 measured fact, docs/PERF_NOTES.md "Approx
+    E2E"): XLA may place a Pallas approx-kernel OUTPUT buffer in scoped
+    VMEM (S(1)) when the custom call feeds a fusion inside a large jitted
+    body, and several MobileNetV2 conv shapes exceed the default 16 MiB
+    scoped limit even after the kernel wrapper's large-M ``lax.map`` split
+    (ops/pallas/approx_matmul.py ``m_split``). Raising the scoped limit to
+    64 MiB is safe on the v5e (128 MiB VMEM).
+
+    Returns the options dict when ``model`` (if given) is armed for the
+    approx special path AND the default backend is a TPU, else ``None`` —
+    the option must NOT reach CPU compiles: the CPU plugin rejects unknown
+    TPU-only flags (which is also why ``XLA_FLAGS`` cannot carry it — the
+    local CPU plugin parses XLA_FLAGS at interpreter startup and fatals).
+    Pass the result straight to ``jax.jit(compiler_options=...)``; ``None``
+    is accepted and means "no override".
+    """
+    if model is not None:
+        qc = getattr(model, "qc", None)
+        rm = getattr(qc, "run_method", None)
+        if not (getattr(rm, "approx_flag", False)
+                and getattr(qc, "approx", None) is not None):
+            return None
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": 65536}

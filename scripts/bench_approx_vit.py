@@ -144,8 +144,14 @@ def main(argv=None):
         jax.block_until_ready([v for _, v, _ in modes.values()])
         x = jax.device_put(x, dev)
 
+    # default to the package-level policy (utils.misc.approx_compiler_options
+    # — the model entry points now apply this automatically); the CLI knob
+    # stays as an explicit override for sweeping the limit
+    from fp8_quantization_tpu.utils.misc import approx_compiler_options
+
     copts = ({"xla_tpu_scoped_vmem_limit_kib": args.scoped_vmem_kib}
-             if args.scoped_vmem_kib else None)
+             if args.scoped_vmem_kib
+             else approx_compiler_options(model_approx))
 
     def builder(model, vs, qp):
         def build_fn(n):

@@ -140,3 +140,52 @@ class TestDemoE2E:
                                      "loss"}
             # packed logits track the plain path closely on this tiny model
             assert abs(m_packed["loss"] - m_plain["loss"]) < 0.05
+
+
+class TestApproxCompilerOptions:
+    """utils.misc.approx_compiler_options — the package-level scoped-VMEM
+    policy for approx-armed conv models (ROADMAP r5 #5: the 64 MiB override
+    moved from a bench knob into the model entry points)."""
+
+    def _model(self, approx):
+        import dataclasses
+
+        rm = RunMethodConfig(res_quantizer_flag=True,
+                             original_quantize_res=True,
+                             approx_flag=approx)
+        qc = dataclasses.replace(_qc(), run_method=rm,
+                                 approx=ApproxConfig(with_approx=approx))
+        return QuantizedDemoModel(qc=qc)
+
+    def test_none_for_sim_model(self):
+        from fp8_quantization_tpu.utils.misc import approx_compiler_options
+        assert approx_compiler_options(self._model(False)) is None
+
+    def test_none_on_cpu_backend(self):
+        # conftest forces the CPU backend; the TPU-only option must never
+        # reach a CPU compile (the plugin rejects unknown flags)
+        from fp8_quantization_tpu.utils.misc import approx_compiler_options
+        assert jax.default_backend() == "cpu"
+        assert approx_compiler_options(self._model(True)) is None
+
+    def test_dict_on_tpu_backend(self, monkeypatch):
+        from fp8_quantization_tpu.utils import misc
+        monkeypatch.setattr(misc.jax, "default_backend", lambda: "axon")
+        opts = misc.approx_compiler_options(self._model(True))
+        assert opts == {"xla_tpu_scoped_vmem_limit_kib": 65536}
+        # no model given = unconditional backend-only policy (bench override)
+        assert misc.approx_compiler_options() == opts
+
+    def test_driver_accepts_armed_model_on_cpu(self, rng):
+        # the approx demo eval must still run on CPU with the automatic
+        # policy in place (compiler_options=None path through calibrate +
+        # evaluate)
+        model = self._model(True)
+        x0 = jnp.zeros((4, 10), jnp.float32)
+        variables = model.init(jax.random.key(0), x0, ESTIMATE)
+        calib = [rng.normal(size=(4, 10)).astype(np.float32)]
+        eval_batches = [(rng.normal(size=(4, 10)).astype(np.float32),
+                         rng.integers(0, 10, size=(4,)))]
+        metrics, _ = validate_quantized(model, variables, calib, eval_batches,
+                                        num_est_batches=1)
+        assert 0 <= metrics["top_1_accuracy"] <= 1

@@ -87,6 +87,18 @@ def _pad_to_bucket(n: int, bucket: int = 16) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
+def _gather_slot_slabs(cache: PagedKVCache):
+    """Slot's logical KV view as dense (L, 1, S_max, H_kv, D) slabs — the
+    layout ``PrefixCache`` stores (interchangeable with a dense
+    ``ContinuousBatcher`` slot slice). Batch-1 page table expected."""
+    l, _, page, h, d = cache.k_pages.shape
+    s_max = cache.page_table.shape[1] * page
+    row = cache.page_table[0]
+    k = cache.k_pages[:, row].reshape(l, 1, s_max, h, d)
+    v = cache.v_pages[:, row].reshape(l, 1, s_max, h, d)
+    return k, v
+
+
 class PagedBatcher:
     """Continuous batching over a paged KV pool.
 
@@ -101,6 +113,7 @@ class PagedBatcher:
                  max_seq: Optional[int] = None, eos_token: int = -1,
                  qp: QuantPhase = FIXED,
                  sampling: SamplingParams = GREEDY, seed: int = 0,
+                 mesh=None, prefix_cache=None,
                  draft_model=None, draft_variables=None,
                  draft_spec: Optional[LlamaSpec] = None, spec_k: int = 4,
                  draft_qp: Optional[QuantPhase] = None):
@@ -117,7 +130,24 @@ class PagedBatcher:
         (the same masking trick as the trash-page writes). The draft keeps a
         DENSE (slots, max_seq) slab: paging exists to bound the BIG model's
         KV HBM; the draft is small by design and a dense slab keeps its
-        k-step scan free of per-step gather/scatter overhead."""
+        k-step scan free of per-step gather/scatter overhead.
+
+        ``prefix_cache``: optional :class:`~.prefix_cache.PrefixCache` —
+        warm admissions SCATTER the cached dense prefix slab into the
+        slot's pages (allocated up front) and prefill only the remainder
+        with ``length`` starting at the prefix length; stores GATHER the
+        slot's logical view back to the dense (L, 1, S, H_kv, D) layout, so
+        entries are interchangeable with the dense ``ContinuousBatcher``'s.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with (data, model) axes —
+        same convenience as ``ContinuousBatcher``: variables shard per
+        ``parallel.sharding`` rules and every jitted step traces under
+        ``partitioned_kernels``. The page POOL shards its KV-head axis over
+        ``model`` (when divisible) and stays replicated over ``data``: any
+        slot may own any physical page, so there is no per-slot pool shard
+        — the (B, ...) page-table gather/scatter lets GSPMD batch-partition
+        the attention while the pool itself is the shared resource.
+        """
         self.model = model
         self.variables = variables
         self.spec = spec
@@ -139,12 +169,13 @@ class PagedBatcher:
 
         self.free_slots: List[int] = list(range(slots))
         self.active: Dict[int, dict] = {}
+        self.prefix_cache = prefix_cache
+        self.mesh = mesh
 
         self.draft = draft_model
         self.draft_spec = draft_spec
         self.draft_qp = draft_qp or qp
         self.spec_k = spec_k
-        self.draft_variables = draft_variables
         self.proposed = 0   # speculative telemetry (SpecStats analog)
         self.accepted = 0
         if draft_model is not None:
@@ -157,6 +188,44 @@ class PagedBatcher:
         else:
             self.draft_cache = None
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import shard_variables
+
+            if slots % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"slots ({slots}) must divide over the data axis "
+                    f"({mesh.shape['data']})"
+                )
+            variables = shard_variables(variables, mesh)
+            pool_spec = P(None, None, None,
+                          "model"
+                          if spec.num_kv_heads % mesh.shape["model"] == 0
+                          else None, None)
+            self.k_pages = jax.device_put(self.k_pages,
+                                          NamedSharding(mesh, pool_spec))
+            self.v_pages = jax.device_put(self.v_pages,
+                                          NamedSharding(mesh, pool_spec))
+            if draft_model is not None:
+                draft_variables = shard_variables(draft_variables, mesh)
+                dkv_spec = P(None, "data", None,
+                             "model"
+                             if draft_spec.num_kv_heads
+                             % mesh.shape["model"] == 0
+                             else None, None)
+                self.draft_cache = KVCache(
+                    k=jax.device_put(self.draft_cache.k,
+                                     NamedSharding(mesh, dkv_spec)),
+                    v=jax.device_put(self.draft_cache.v,
+                                     NamedSharding(mesh, dkv_spec)),
+                    length=jax.device_put(
+                        self.draft_cache.length,
+                        NamedSharding(mesh, P("data"))),
+                )
+        self.variables = variables
+        self.draft_variables = draft_variables
+
         import functools
 
         # donate the cache: the page pools are updated in place by the decode
@@ -166,6 +235,7 @@ class PagedBatcher:
         self._key = jax.random.key(seed)
         self._step_count = 0
 
+        @self._partitioned
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode_step(variables, tokens, cache, key):
             logits, cache = model.apply(variables, tokens, cache, qp)
@@ -175,6 +245,21 @@ class PagedBatcher:
         if draft_model is not None:
             self._spec_step = self._build_spec_step()
         self._prefill_jit = {}
+
+    def _partitioned(self, fn):
+        """Trace ``fn`` under ``partitioned_kernels`` when this batcher has
+        a mesh, so packed/int4 Pallas kernels tensor-parallelize via
+        shard_map (see serving.ContinuousBatcher._partitioned — the
+        contextvar is a trace-time switch, so it must wrap the first CALL)."""
+        if self.mesh is None:
+            return fn
+        from ..parallel.shard_kernels import partitioned_kernels
+
+        def wrapped(*a, **k):
+            with partitioned_kernels(self.mesh):
+                return fn(*a, **k)
+
+        return wrapped
 
     def _build_spec_step(self):
         """Compile the batched speculative round over the paged pool: the
@@ -206,7 +291,7 @@ class PagedBatcher:
             return (emitted, m, t_cache.k_pages, t_cache.v_pages,
                     d_cache.k, d_cache.v)
 
-        return spec_step
+        return self._partitioned(spec_step)
 
     def _next_key(self):
         self._step_count += 1
@@ -233,45 +318,123 @@ class PagedBatcher:
             length=jnp.asarray(self.lengths),
         )
 
+    def _resume_admit_fn(self, t_pad: int):
+        """Warm paged admission as ONE jitted call: scatter the dense prefix
+        slab into the slot's pages + prefill the remainder over the
+        cache-attention path + gather the slot's logical slab back for the
+        prefix store. Fused for the same reason the dense batcher's is
+        (each eager dispatch costs ~29 ms over the tunnel). The prefix
+        length is read from ``k_pref.shape[2]`` so jit specializes on
+        (t_pad, bucket-aligned prefix length) pairs only."""
+        key_ = ("resume", t_pad)
+        if key_ not in self._prefill_jit:
+            model, qp, sampling = self.model, self.qp, self.sampling
+
+            @jax.jit
+            def admit(variables, k_pages, v_pages, table_row, tokens,
+                      k_pref, v_pref, real_len, rkey):
+                lp = k_pref.shape[2]
+                page = k_pages.shape[2]
+                pos = jnp.arange(lp)
+                pp = table_row[0, pos // page]
+                off = pos % page
+                # scatter prefix KV into the slot's pages: logical position
+                # i -> (physical page pp[i], offset off[i]); pages were
+                # allocated by the caller, so no trash-page writes here
+                k_pages = k_pages.at[:, pp, off].set(k_pref[:, 0])
+                v_pages = v_pages.at[:, pp, off].set(v_pref[:, 0])
+                cache = PagedKVCache(
+                    k_pages=k_pages, v_pages=v_pages, page_table=table_row,
+                    length=jnp.full((1,), lp, jnp.int32))
+                logits, cache = model.apply(variables, tokens, cache, qp)
+                next_tok = sample_tokens(logits[:1, real_len - 1, :],
+                                         sampling, rkey)[0]
+                k_slab, v_slab = _gather_slot_slabs(cache)
+                return (next_tok, cache.k_pages, cache.v_pages, k_slab,
+                        v_slab)
+
+            self._prefill_jit[key_] = self._partitioned(admit)
+        return self._prefill_jit[key_]
+
     # -- serving protocol ---------------------------------------------------
 
     def admit(self, prompt: List[int], max_new_tokens: int = 32) -> int:
-        """Prefill a prompt into a free slot; returns the slot id."""
+        """Prefill a prompt into a free slot; returns the slot id.
+
+        With a ``prefix_cache``, the longest cached prefix's dense KV slab
+        is scattered into the slot's pages and only the remainder tokens
+        are prefilled (value-identical: prefix KV depends only on prefix
+        tokens, and the paged cache-attention path reads the same logical
+        positions the full prefill would have written)."""
         if not self.free_slots:
             raise RuntimeError("no free slots")
         slot = self.free_slots.pop(0)
         real = len(prompt)
-        t_pad = _pad_to_bucket(real)
-        # padded prefill positions write into [0, t_pad); allocate for them
-        self._ensure_pages(slot, t_pad)
-        tokens = np.zeros((1, t_pad), np.int32)
-        tokens[0, :real] = prompt
+        want_store = self.prefix_cache is not None
 
-        if t_pad not in self._prefill_jit:
-            model, qp, sampling = self.model, self.qp, self.sampling
+        pref = self.prefix_cache.lookup(prompt) if want_store else None
+        if pref is not None and (
+            pref[0] + _pad_to_bucket(real - pref[0]) > self.max_seq
+        ):
+            # padded remainder would spill past the slot's logical range
+            pref = None
+        if pref is not None:
+            lp, k_pref, v_pref = pref
+            rem = prompt[lp:]
+            t_pad = _pad_to_bucket(len(rem))
+            # pages for prefix scatter + padded remainder writes
+            self._ensure_pages(slot, lp + t_pad)
+            tokens = np.zeros((1, t_pad), np.int32)
+            tokens[0, : len(rem)] = rem
+            next_tok, self.k_pages, self.v_pages, k_slab, v_slab = (
+                self._resume_admit_fn(t_pad)(
+                    self.variables, self.k_pages, self.v_pages,
+                    jnp.asarray(self.table[slot:slot + 1]),
+                    jnp.asarray(tokens), k_pref, v_pref,
+                    jnp.asarray(len(rem)), self._next_key()))
+        else:
+            t_pad = _pad_to_bucket(real)
+            # padded prefill positions write into [0, t_pad); allocate
+            self._ensure_pages(slot, t_pad)
+            tokens = np.zeros((1, t_pad), np.int32)
+            tokens[0, :real] = prompt
 
-            @jax.jit
-            def prefill(variables, tokens, cache, real_len, key):
-                # batch-1 prefill over the slot's page-table row only: the
-                # page pool is shared, so writes land in the slot's pages
-                # without touching other slots' cached KV. chunk_attention:
-                # attend over the prompt chunk, not the gathered logical view
-                logits, cache = model.apply(variables, tokens, cache, qp,
-                                            chunk_attention=True)
-                next_tok = sample_tokens(logits[:1, real_len - 1, :],
-                                         sampling, key)[0]
-                return next_tok, cache.k_pages, cache.v_pages
+            key_ = ("prefill", t_pad, want_store)
+            if key_ not in self._prefill_jit:
+                model, qp, sampling = self.model, self.qp, self.sampling
 
-            self._prefill_jit[t_pad] = prefill
+                @jax.jit
+                def prefill(variables, tokens, cache, real_len, key):
+                    # batch-1 prefill over the slot's page-table row only:
+                    # the page pool is shared, so writes land in the slot's
+                    # pages without touching other slots' cached KV.
+                    # chunk_attention: attend over the prompt chunk, not the
+                    # gathered logical view
+                    logits, cache = model.apply(variables, tokens, cache, qp,
+                                                chunk_attention=True)
+                    next_tok = sample_tokens(logits[:1, real_len - 1, :],
+                                             sampling, key)[0]
+                    out = (next_tok, cache.k_pages, cache.v_pages)
+                    if want_store:
+                        out += _gather_slot_slabs(cache)
+                    return out
 
-        slot_cache = PagedKVCache(
-            k_pages=self.k_pages, v_pages=self.v_pages,
-            page_table=jnp.asarray(self.table[slot:slot + 1]),
-            length=jnp.zeros((1,), jnp.int32),
-        )
-        next_tok, self.k_pages, self.v_pages = self._prefill_jit[t_pad](
-            self.variables, jnp.asarray(tokens), slot_cache,
-            jnp.asarray(real), self._next_key())
+                self._prefill_jit[key_] = self._partitioned(prefill)
+
+            slot_cache = PagedKVCache(
+                k_pages=self.k_pages, v_pages=self.v_pages,
+                page_table=jnp.asarray(self.table[slot:slot + 1]),
+                length=jnp.zeros((1,), jnp.int32),
+            )
+            out = self._prefill_jit[key_](
+                self.variables, jnp.asarray(tokens), slot_cache,
+                jnp.asarray(real), self._next_key())
+            next_tok, self.k_pages, self.v_pages = out[:3]
+            if want_store:
+                k_slab, v_slab = out[3:]
+
+        if want_store:
+            self.prefix_cache.store(prompt, k_slab, v_slab)
 
         if self.draft is not None:
             # draft cache admission: cold full-prompt prefill of the draft
@@ -290,7 +453,7 @@ class PagedBatcher:
                                                chunk_attention=True)
                     return sub.k, sub.v
 
-                self._prefill_jit[dkey] = dprefill
+                self._prefill_jit[dkey] = self._partitioned(dprefill)
             dk = jax.lax.dynamic_slice_in_dim(self.draft_cache.k, slot, 1,
                                               axis=1)
             dv = jax.lax.dynamic_slice_in_dim(self.draft_cache.v, slot, 1,

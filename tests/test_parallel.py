@@ -441,3 +441,34 @@ def test_sharded_speculative_batcher_matches_single_device(rng):
     want = run(None)
     got = run(make_mesh(data=2, model=4))
     assert got == want
+
+
+def test_sharded_paged_speculative_prefix_matches_single_device(rng):
+    """The full paged serving composition under a (2, 4) mesh: paged target
+    pool (KV heads sharded over model, pool shared over data) + batched
+    speculative rounds + warm prefix admissions must emit the exact
+    single-device tokens, with the cache hitting in both runs."""
+    from fp8_quantization_tpu.models.paged_kv import PagedBatcher
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+
+    spec, model, v = _llama_parts(rng)
+    _, dmodel, dv = _llama_parts(rng, init_key=1)
+    shared = list(rng.integers(0, 64, size=20))
+    prompts = [shared + [11, 12, 13], shared + [31, 32]]
+
+    def run(mesh, pc):
+        b = PagedBatcher(model, v, spec, slots=2, num_pages=48, page_size=8,
+                         mesh=mesh, prefix_cache=pc, draft_model=dmodel,
+                         draft_variables=dv, draft_spec=spec, spec_k=3)
+        out = []
+        for p in prompts:
+            s = b.admit(p, max_new_tokens=6)
+            b.run_to_completion()
+            out.append(b.retire(s))
+        return out
+
+    cold = run(None, None)
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = run(make_mesh(data=2, model=4), pc)
+    assert warm == cold
+    assert pc.misses == 1 and pc.hits == 1

@@ -175,3 +175,79 @@ def test_stochastic_spec_paged_runs_and_rejects(models):
     got = _serve(b, PROMPTS[:2], n=8)
     assert all(len(t) == 8 for t in got)
     assert 0 < b.accepted < b.proposed or b.accepted == 0
+
+
+def _run_sequential(b, prompts, n=6):
+    out = []
+    for p in prompts:  # sequential so later admissions can hit the cache
+        s = b.admit(p, max_new_tokens=n)
+        b.run_to_completion()
+        out.append(b.retire(s))
+    return out
+
+
+def test_prefix_cache_on_paged(models):
+    """Warm paged admission: the cached dense prefix slab scatters into the
+    slot's pages and only the remainder prefills — token-identical to the
+    cold run, with the second admission hitting the cache."""
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+
+    (model, v), _ = models
+    rng = np.random.default_rng(3)
+    shared = list(rng.integers(0, 64, size=20))
+    prompts = [shared + [11, 12, 13], shared + [31, 32]]
+
+    cold = _run_sequential(_paged(model, v, slots=2), prompts)
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = _run_sequential(_paged(model, v, slots=2, prefix_cache=pc),
+                           prompts)
+    assert warm == cold
+    assert pc.misses == 1 and pc.hits == 1
+
+
+def test_prefix_cache_composes_with_spec_paged(models):
+    """The full composition cell: prefix cache + speculative + paged. The
+    target warm-scatters cached pages, the draft cold-prefills its dense
+    slab, and tokens match the cold speculative run."""
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+
+    (model, v), (dmodel, dv) = models
+    rng = np.random.default_rng(3)
+    shared = list(rng.integers(0, 64, size=20))
+    prompts = [shared + [11, 12, 13], shared + [31, 32]]
+
+    def run(pc):
+        b = _paged(model, v, slots=2, draft_model=dmodel, draft_variables=dv,
+                   draft_spec=TINY, spec_k=3, prefix_cache=pc)
+        return _run_sequential(b, prompts)
+
+    cold = run(None)
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    warm = run(pc)
+    assert warm == cold
+    assert pc.misses == 1 and pc.hits == 1
+
+
+def test_prefix_entries_interchangeable_with_dense(models):
+    """A prefix entry STORED by the dense ContinuousBatcher serves a warm
+    PAGED admission (the gathered slab layout matches the dense slot
+    slice), and the paged output still equals its cold run."""
+    from fp8_quantization_tpu.models.prefix_cache import PrefixCache
+    from fp8_quantization_tpu.models.serving import ContinuousBatcher
+
+    (model, v), _ = models
+    rng = np.random.default_rng(5)
+    shared = list(rng.integers(0, 64, size=24))
+    p_dense, p_paged = shared + [7, 8], shared + [9]
+
+    cold = _run_sequential(_paged(model, v, slots=2), [p_paged])
+    pc = PrefixCache(max_tokens=256, bucket=16)
+    d = ContinuousBatcher(model, v, SPEC, slots=2, prefix_cache=pc)
+    s = d.admit(p_dense, max_new_tokens=4)
+    d.run_to_completion()
+    d.retire(s)
+    assert pc.misses == 1
+    warm = _run_sequential(_paged(model, v, slots=2, prefix_cache=pc),
+                           [p_paged])
+    assert warm == cold
+    assert pc.hits == 1
